@@ -1,0 +1,72 @@
+"""Numerical parity tests for the fused STFT/log-mel frontend.
+
+Checks against torch.stft (the reference's STFT backend,
+`espnet2/layers/stft.py:111`) and librosa's mel filterbank
+(`espnet2/layers/log_mel.py:50`) when available.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from espnet_tpu.ops import stft as stft_ops
+
+
+def _rand_wave(b=2, n=4000, seed=0):
+    rng = np.random.RandomState(seed)
+    return rng.randn(b, n).astype(np.float32)
+
+
+def test_stft_matches_torch():
+    torch = pytest.importorskip("torch")
+    x = _rand_wave()
+    n_fft, hop, win = 512, 128, 400
+    real, imag = stft_ops.stft(jnp.asarray(x), n_fft, hop, win)
+    ref = torch.stft(
+        torch.from_numpy(x),
+        n_fft=n_fft,
+        hop_length=hop,
+        win_length=win,
+        window=torch.hann_window(win),
+        center=True,
+        onesided=True,
+        return_complex=True,
+    )  # (B, freq, frames)
+    ref_real = ref.real.numpy().transpose(0, 2, 1)
+    ref_imag = ref.imag.numpy().transpose(0, 2, 1)
+    np.testing.assert_allclose(np.asarray(real), ref_real, atol=2e-3, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(imag), ref_imag, atol=2e-3, rtol=1e-4)
+
+
+def test_stft_matmul_vs_fft_path():
+    x = _rand_wave()
+    r1, i1 = stft_ops.stft(jnp.asarray(x), 512, 128, use_fft=False)
+    r2, i2 = stft_ops.stft(jnp.asarray(x), 512, 128, use_fft=True)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(i1), np.asarray(i2), atol=2e-3)
+
+
+def test_mel_filterbank_matches_librosa():
+    librosa = pytest.importorskip("librosa")
+    ours = stft_ops.mel_filterbank(16000, 512, 80, 0.0, None)
+    ref = librosa.filters.mel(sr=16000, n_fft=512, n_mels=80).T
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_log_mel_shapes_and_lengths():
+    x = _rand_wave(b=3, n=3200)
+    ilens = jnp.asarray([3200, 2000, 1000])
+    feats, olens = stft_ops.log_mel_spectrogram(jnp.asarray(x), ilens)
+    assert feats.shape == (3, 3200 // 128 + 1, 80)
+    np.testing.assert_array_equal(np.asarray(olens), [26, 16, 8])
+    # padding frames are zeroed
+    assert np.all(np.asarray(feats)[2, 9:] == 0.0)
+
+
+def test_istft_roundtrip():
+    x = _rand_wave(b=1, n=2048)
+    n_fft, hop = 512, 128
+    real, imag = stft_ops.stft(jnp.asarray(x), n_fft, hop)
+    y = stft_ops.istft(real, imag, n_fft, hop, length=2048)
+    np.testing.assert_allclose(np.asarray(y)[0], x[0], atol=1e-2)
