@@ -1,0 +1,165 @@
+"""Dataset + collate: data dir -> statically-shaped numpy batches.
+
+Behavioral spec: reference `espnet2/train/dataset.py:368` (ESPnetDataset:
+name -> (path, loader type)), `espnet2/train/collate_fn.py:11`
+(CommonCollateFn: pad to batch max, emit <name>_lengths) and
+`espnet2/train/preprocessor.py:126` (CommonPreprocessor: tokenize text on
+the fly). TPU difference: the collate pads to the *bucket-quantized* shape
+carried by the sampler `Batch`, so jit sees a bounded shape set.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import threading
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from espnet_tpu.data.fileio import SoundScpReader, NpyScpReader, read_2column_text
+from espnet_tpu.data.sampler import Batch, build_batches, shard_batches, shuffle_batches
+
+
+class ASRDataset:
+    """Speech (wav.scp or feats.scp) + text, tokenized on access."""
+
+    def __init__(
+        self,
+        wav_scp: Optional[str] = None,
+        feats_scp: Optional[str] = None,
+        text: Optional[str] = None,
+        tokenizer=None,
+        converter=None,
+        fs: int = 16000,
+    ):
+        if (wav_scp is None) == (feats_scp is None):
+            raise ValueError("exactly one of wav_scp/feats_scp required")
+        self.speech = SoundScpReader(wav_scp) if wav_scp else NpyScpReader(feats_scp)
+        self.is_raw = wav_scp is not None
+        self.text = read_2column_text(text) if text else None
+        self.tokenizer = tokenizer
+        self.converter = converter
+        self.fs = fs
+
+    def keys(self) -> List[str]:
+        return list(self.speech.keys())
+
+    def __len__(self):
+        return len(self.speech)
+
+    def __getitem__(self, key: str) -> Dict[str, np.ndarray]:
+        out: Dict[str, np.ndarray] = {}
+        if self.is_raw:
+            wav, sr = self.speech[key]
+            if sr != self.fs:
+                raise ValueError(f"{key}: rate {sr} != {self.fs}")
+            if wav.ndim > 1:
+                wav = wav[:, 0]
+            out["speech"] = wav.astype(np.float32)
+        else:
+            out["speech"] = self.speech[key].astype(np.float32)
+        if self.text is not None:
+            toks = self.tokenizer.text2tokens(self.text[key])
+            out["text"] = np.asarray(self.converter.tokens2ids(toks), np.int32)
+        return out
+
+    def speech_lengths(self) -> Dict[str, int]:
+        """First-pass lengths (samples or frames) — used by the sampler.
+        Reads headers only for wav (cheap); full read for npy."""
+        out = {}
+        for k in self.speech.keys():
+            if self.is_raw:
+                import wave as wave_mod
+
+                path = self.speech.data[k]
+                try:
+                    with wave_mod.open(path) as w:
+                        out[k] = w.getnframes()
+                except Exception:
+                    out[k] = len(self.speech[k][0])
+            else:
+                out[k] = self.speech[k].shape[0]
+        return out
+
+    def text_lengths(self) -> Dict[str, int]:
+        return {
+            k: len(self.tokenizer.text2tokens(v)) for k, v in self.text.items()
+        }
+
+
+def collate(
+    dataset, batch: Batch, fields=("speech", "text")
+) -> Dict[str, np.ndarray]:
+    """Assemble one padded batch: field -> (B, L_pad[, D]) + field_lengths."""
+    items = [dataset[k] for k in batch.keys]
+    out: Dict[str, np.ndarray] = {"keys": batch.keys}
+    for f in fields:
+        if f not in items[0]:
+            continue
+        arrs = [it[f] for it in items]
+        max_len = batch.pad_shapes[f]
+        lengths = np.asarray([a.shape[0] for a in arrs], np.int32)
+        trailing = arrs[0].shape[1:]
+        buf = np.zeros((len(arrs), max_len, *trailing), arrs[0].dtype)
+        for i, a in enumerate(arrs):
+            buf[i, : a.shape[0]] = a
+        out[f] = buf
+        out[f + "_lengths"] = lengths
+    return out
+
+
+class EpochIterator:
+    """Reproducible per-epoch batch iterator with background prefetch.
+
+    Equivalent of `espnet2/iterators/sequence_iter_factory.py:34` (per-epoch
+    seeded shuffle + DataLoader workers): collation runs in a thread pool a
+    few batches ahead of the consumer so host IO overlaps device compute.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batches: List[Batch],
+        seed: int = 0,
+        shuffle: bool = True,
+        num_shards: int = 1,
+        shard_index: int = 0,
+        prefetch: int = 2,
+        fields=("speech", "text"),
+    ):
+        self.dataset = dataset
+        self.batches = shard_batches(batches, num_shards)
+        self.seed = seed
+        self.shuffle = shuffle
+        self.num_shards = num_shards
+        self.shard_index = shard_index
+        self.prefetch = prefetch
+        self.fields = fields
+
+    def num_steps(self) -> int:
+        return len(self.batches) // self.num_shards
+
+    def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        batches = (
+            shuffle_batches(self.batches, self.seed, epoch)
+            if self.shuffle
+            else list(self.batches)
+        )
+        mine = batches[self.shard_index :: self.num_shards]
+        if self.prefetch <= 0:
+            for b in mine:
+                yield collate(self.dataset, b, self.fields)
+            return
+        with concurrent.futures.ThreadPoolExecutor(max_workers=2) as pool:
+            futures = []
+            it = iter(mine)
+            for _ in range(self.prefetch):
+                b = next(it, None)
+                if b is not None:
+                    futures.append(pool.submit(collate, self.dataset, b, self.fields))
+            while futures:
+                out = futures.pop(0).result()
+                b = next(it, None)
+                if b is not None:
+                    futures.append(pool.submit(collate, self.dataset, b, self.fields))
+                yield out

@@ -1,0 +1,144 @@
+"""Kaldi-style data-dir IO, dependency-free.
+
+Behavioral spec: reference `espnet2/fileio/` (`SoundScpReader`,
+`read_2columns_text`, `NpyScpReader`, `DatadirWriter`) — a data dir is a set
+of 2-column text maps (wav.scp, text, utt2spk, spk2utt, *_shape) keyed by
+utterance id. Audio decoding uses the stdlib `wave`/scipy instead of
+libsndfile (PCM16/PCM32/float wav; other codecs must be converted host-side,
+as the reference's recipes do with ffmpeg/sox at data-prep time).
+"""
+
+from __future__ import annotations
+
+import os
+import wave as wave_mod
+from pathlib import Path
+from typing import Dict, Iterator, List, Tuple
+
+import numpy as np
+
+
+def read_2column_text(path) -> Dict[str, str]:
+    """'<key> <value with spaces>' lines -> dict (espnet2/fileio/read_text.py)."""
+    out: Dict[str, str] = {}
+    with open(path, encoding="utf-8") as f:
+        for ln, line in enumerate(f, 1):
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            parts = line.split(maxsplit=1)
+            if len(parts) == 1:
+                key, value = parts[0], ""
+            else:
+                key, value = parts
+            if key in out:
+                raise ValueError(f"{path}:{ln}: duplicate key {key}")
+            out[key] = value
+    return out
+
+
+def write_2column_text(path, mapping: Dict[str, str]) -> None:
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w", encoding="utf-8") as f:
+        for k, v in mapping.items():
+            f.write(f"{k} {v}\n")
+
+
+def read_shape_file(path) -> Dict[str, Tuple[int, ...]]:
+    """'<key> 123,80' shape files (collect-stats output format)."""
+    return {
+        k: tuple(int(x) for x in v.split(","))
+        for k, v in read_2column_text(path).items()
+    }
+
+
+def write_shape_file(path, shapes: Dict[str, Tuple[int, ...]]) -> None:
+    write_2column_text(
+        path, {k: ",".join(str(int(x)) for x in v) for k, v in shapes.items()}
+    )
+
+
+def read_wav(path) -> Tuple[np.ndarray, int]:
+    """Read a PCM/float WAV file -> (float32 array in [-1, 1], sample_rate).
+
+    Stdlib-only replacement for soundfile.read (reference
+    `espnet2/fileio/sound_scp.py`); handles PCM16/PCM32/PCM8 and IEEE float.
+    """
+    from scipy.io import wavfile
+
+    sr, data = wavfile.read(path)
+    if data.dtype == np.int16:
+        data = data.astype(np.float32) / 32768.0
+    elif data.dtype == np.int32:
+        data = data.astype(np.float32) / 2147483648.0
+    elif data.dtype == np.uint8:
+        data = (data.astype(np.float32) - 128.0) / 128.0
+    else:
+        data = data.astype(np.float32)
+    return data, sr
+
+
+def write_wav(path, data: np.ndarray, sr: int) -> None:
+    from scipy.io import wavfile
+
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    data = np.clip(data, -1.0, 1.0)
+    wavfile.write(path, sr, (data * 32767.0).astype(np.int16))
+
+
+class SoundScpReader:
+    """wav.scp reader: key -> (wave float32, rate). Lazy per-file read."""
+
+    def __init__(self, scp_path):
+        self.data = read_2column_text(scp_path)
+
+    def keys(self):
+        return self.data.keys()
+
+    def __len__(self):
+        return len(self.data)
+
+    def __contains__(self, key):
+        return key in self.data
+
+    def __getitem__(self, key) -> Tuple[np.ndarray, int]:
+        wav, sr = read_wav(self.data[key])
+        return wav, sr
+
+
+class NpyScpReader:
+    """feats.scp pointing at .npy files: key -> ndarray."""
+
+    def __init__(self, scp_path):
+        self.data = read_2column_text(scp_path)
+
+    def keys(self):
+        return self.data.keys()
+
+    def __len__(self):
+        return len(self.data)
+
+    def __getitem__(self, key) -> np.ndarray:
+        return np.load(self.data[key])
+
+
+class DatadirWriter:
+    """Nested writer for Kaldi-style output dirs
+    (`espnet2/fileio/datadir_writer.py`): writer["wav.scp"][uid] = path."""
+
+    def __init__(self, root):
+        self.root = Path(root)
+        self._files: Dict[str, Dict[str, str]] = {}
+
+    def __getitem__(self, name) -> Dict[str, str]:
+        return self._files.setdefault(name, {})
+
+    def close(self) -> None:
+        for name, mapping in self._files.items():
+            write_2column_text(self.root / name, mapping)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

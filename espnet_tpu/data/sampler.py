@@ -1,0 +1,112 @@
+"""Length-bucketed batch samplers.
+
+Behavioral spec: reference `espnet2/samplers/` (`NumElementsBatchSampler`
+≈ batch_bins semantics of v1 `batchfy_by_bin` `espnet/utils/training/
+batchfy.py:88`: sort by length, grow the batch while
+(max_len_in_batch) * batch_size <= batch_bins; `SortedBatchSampler`,
+`UnsortedBatchSampler`, `FoldedBatchSampler`) and the per-epoch seeded
+shuffle of `espnet2/iterators/sequence_iter_factory.py:34`.
+
+TPU addition: batches also carry *quantized* pad shapes so that jit
+recompilation is bounded — max lengths are rounded up to the next bucket
+edge (multiples of `length_quantum`), giving a small closed set of compiled
+shapes per dataset.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+
+def quantize_length(n: int, quantum: int) -> int:
+    return ((int(n) + quantum - 1) // quantum) * quantum
+
+
+@dataclasses.dataclass
+class Batch:
+    """A batch: utterance keys + static padded shapes for each field."""
+
+    keys: List[str]
+    pad_shapes: Dict[str, int]  # field -> padded length
+
+
+def build_batches(
+    shapes: Dict[str, Dict[str, int]],
+    batch_bins: int = 0,
+    batch_size: int = 0,
+    sort_in_batch: str = "descending",
+    length_quantum: int = 128,
+    text_quantum: int = 8,
+    min_batch_size: int = 1,
+    input_field: str = "speech",
+    drop_oversized: bool = False,
+) -> List[Batch]:
+    """shapes: field -> {key -> length}. One of batch_bins (dynamic batch
+    size via numel bound over *all* fields, NumElementsBatchSampler
+    semantics) or batch_size (fixed #utts) must be set.
+    """
+    fields = list(shapes)
+    keys = sorted(shapes[input_field], key=lambda k: shapes[input_field][k])
+    if sort_in_batch == "descending":
+        keys = keys[::-1]
+
+    batches: List[Batch] = []
+    cur: List[str] = []
+
+    def flush():
+        if not cur:
+            return
+        pad = {
+            f: quantize_length(
+                max(shapes[f][k] for k in cur),
+                length_quantum if f == input_field else text_quantum,
+            )
+            for f in fields
+        }
+        batches.append(Batch(list(cur), pad))
+        cur.clear()
+
+    if batch_size:
+        for k in keys:
+            cur.append(k)
+            if len(cur) >= batch_size:
+                flush()
+        flush()
+    else:
+        if not batch_bins:
+            raise ValueError("set batch_bins or batch_size")
+        for k in keys:
+            cand = cur + [k]
+            numel = sum(
+                max(shapes[f][kk] for kk in cand) * len(cand) for f in fields
+            )
+            if cur and numel > batch_bins and len(cur) >= min_batch_size:
+                flush()
+                cand = [k]
+            cur[:] = cand
+        flush()
+    if drop_oversized:
+        batches = [b for b in batches if len(b.keys) >= min_batch_size]
+    return batches
+
+
+def shuffle_batches(batches: List[Batch], seed: int, epoch: int) -> List[Batch]:
+    """Reproducible per-epoch batch-order shuffle (SequenceIterFactory)."""
+    rng = np.random.RandomState((seed + epoch) % (2 ** 31))
+    order = rng.permutation(len(batches))
+    return [batches[i] for i in order]
+
+
+def shard_batches(batches: List[Batch], num_shards: int) -> List[Batch]:
+    """Pad the batch list to a multiple of num_shards by recycling batches
+    so every data-parallel host sees the same number of steps (replaces the
+    iterator-stop all-reduce of `espnet2/train/trainer.py:516`)."""
+    if num_shards <= 1:
+        return batches
+    rem = len(batches) % num_shards
+    if rem:
+        batches = batches + batches[: num_shards - rem]
+    return batches

@@ -1,0 +1,60 @@
+"""Synthetic smoke corpus generator (mini_an4 stand-in).
+
+The reference ships a 100-utterance an4 subset as its universal CPU smoke
+fixture (`egs/mini_an4/`, SURVEY §4). We cannot ship corpora, so tests and
+the smoke recipe synthesise one: each "word" is a fixed tone chord, an
+utterance is a sequence of words, so the mapping audio->text is learnable
+by a tiny model in a few epochs.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from espnet_tpu.data.fileio import DatadirWriter, write_wav
+
+WORDS = ["ichi", "ni", "san", "yon", "go", "roku", "nana", "hachi"]
+
+
+def synth_utterance(
+    word_ids: List[int], fs: int = 16000, word_dur: float = 0.12,
+    rng: np.random.RandomState = None,
+) -> np.ndarray:
+    rng = rng or np.random.RandomState(0)
+    n = int(word_dur * fs)
+    t = np.arange(n) / fs
+    segs = []
+    for w in word_ids:
+        f0 = 200.0 + 120.0 * w
+        seg = 0.4 * np.sin(2 * np.pi * f0 * t) + 0.2 * np.sin(2 * np.pi * 2.1 * f0 * t)
+        env = np.minimum(1.0, np.minimum(np.arange(n), n - np.arange(n)) / (0.01 * fs))
+        segs.append(seg * env)
+    wav = np.concatenate(segs) + 0.01 * rng.randn(n * len(word_ids))
+    return wav.astype(np.float32)
+
+
+def generate_corpus(
+    out_dir, n_utts: int = 60, min_words: int = 2, max_words: int = 6,
+    fs: int = 16000, seed: int = 0,
+) -> Tuple[Path, Dict[str, str]]:
+    """Writes wav/ + wav.scp + text under out_dir; returns (dir, texts)."""
+    out = Path(out_dir)
+    (out / "wav").mkdir(parents=True, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    texts: Dict[str, str] = {}
+    with DatadirWriter(out) as w:
+        for i in range(n_utts):
+            uid = f"utt{i:04d}"
+            nw = rng.randint(min_words, max_words + 1)
+            word_ids = rng.randint(0, len(WORDS), nw)
+            wav = synth_utterance(list(word_ids), fs, rng=rng)
+            path = out / "wav" / f"{uid}.wav"
+            write_wav(path, wav, fs)
+            w["wav.scp"][uid] = str(path)
+            text = " ".join(WORDS[j] for j in word_ids)
+            w["text"][uid] = text
+            texts[uid] = text
+    return out, texts

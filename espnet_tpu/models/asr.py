@@ -1,0 +1,242 @@
+"""End-to-end ASR model: frontend -> specaug -> normalize -> encoder -> {ctc, decoder}.
+
+Behavioral spec: reference `espnet2/asr/espnet_model.py:37` (ESPnetASRModel):
+`forward:188` computes loss = ctc_weight * loss_ctc + (1-ctc_weight) * loss_att
+(`:319-325`), attention loss is label-smoothed CE over [ys, eos] with
+sos-prefixed decoder input, stats include loss/loss_att/loss_ctc/acc;
+`encode:351` is the frontend+encoder path reused by inference.
+
+TPU-first shape discipline: speech is (B, N_samples) padded to a bucket
+size, text is (B, U) 0-padded with explicit lengths; everything downstream
+is static-shaped, masked math. sos = eos = vocab_size - 1 (reference
+convention, `espnet2/tasks/asr.py` token list layout with <sos/eos> last).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from espnet_tpu.models.conformer import ConformerEncoder
+from espnet_tpu.models.transformer import TransformerDecoder, TransformerEncoder
+from espnet_tpu.ops.ctc import ctc_loss
+from espnet_tpu.ops.losses import label_smoothing_loss, token_accuracy
+from espnet_tpu.ops.masks import make_valid_mask
+from espnet_tpu.ops.specaug import specaug
+from espnet_tpu.ops.stft import log_mel_spectrogram
+from espnet_tpu.ops.normalize import utterance_mvn
+
+
+@dataclasses.dataclass(frozen=True)
+class ASRConfig:
+    vocab_size: int
+    # frontend
+    input_type: str = "raw"  # "raw" waveform | "feats" precomputed
+    fs: int = 16000
+    n_fft: int = 512
+    hop_length: int = 128
+    win_length: Optional[int] = None
+    n_mels: int = 80
+    # augmentation / normalisation
+    use_specaug: bool = True
+    num_freq_masks: int = 2
+    freq_mask_width: Tuple[int, int] = (0, 20)
+    num_time_masks: int = 2
+    time_mask_width: Tuple[int, int] = (0, 40)
+    normalize: str = "global_mvn"  # "global_mvn" | "utterance_mvn" | "none"
+    # encoder
+    encoder_type: str = "conformer"  # "conformer" | "transformer"
+    d_model: int = 256
+    num_heads: int = 4
+    d_ff: int = 2048
+    num_encoder_layers: int = 12
+    subsampling_factor: int = 4
+    conformer_kernel_size: int = 31
+    # decoder
+    num_decoder_layers: int = 6
+    decoder_d_ff: int = 2048
+    # loss
+    ctc_weight: float = 0.3
+    lsm_weight: float = 0.1
+    dropout_rate: float = 0.1
+    dtype: Any = jnp.float32
+
+    @property
+    def sos_id(self) -> int:
+        return self.vocab_size - 1
+
+    @property
+    def eos_id(self) -> int:
+        return self.vocab_size - 1
+
+    @property
+    def blank_id(self) -> int:
+        return 0
+
+
+class GlobalMVN(nn.Module):
+    """Mean/variance normalisation with stats in a non-trainable 'mvn'
+    variable collection (filled by the collect-stats pass,
+    `espnet2/layers/global_mvn.py:13`)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x, lengths):
+        mean = self.variable("mvn", "mean", lambda: jnp.zeros((self.dim,))).value
+        inv_std = self.variable("mvn", "inv_std", lambda: jnp.ones((self.dim,))).value
+        out = (x - mean) * inv_std
+        mask = make_valid_mask(lengths, x.shape[1])[:, :, None]
+        return out * mask.astype(out.dtype)
+
+
+def add_sos_eos(
+    text: jnp.ndarray, text_lengths: jnp.ndarray, sos: int, eos: int
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(B, U) -> decoder input [sos, y] (B, U+1), target [y, eos] (B, U+1),
+    and the (B,) output lengths (= text_lengths + 1).
+
+    Mirror of `espnet/nets/pytorch_backend/nets_utils.py` add_sos_eos, with
+    0-padding instead of ignore_id (-1) — masking carries validity.
+    """
+    b, u = text.shape
+    ys_in = jnp.concatenate(
+        [jnp.full((b, 1), sos, text.dtype), text], axis=1
+    )
+    # place eos at position text_lengths in the target
+    ys_out = jnp.concatenate([text, jnp.zeros((b, 1), text.dtype)], axis=1)
+    pos = jnp.arange(u + 1)[None, :]
+    ys_out = jnp.where(pos == text_lengths[:, None], eos, ys_out)
+    ys_out = jnp.where(pos > text_lengths[:, None], 0, ys_out)
+    return ys_in, ys_out, text_lengths + 1
+
+
+class ASRModel(nn.Module):
+    """Joint CTC/attention ASR model (ESPnetASRModel equivalent)."""
+
+    config: ASRConfig
+
+    def setup(self):
+        c = self.config
+        if c.encoder_type == "conformer":
+            self.encoder = ConformerEncoder(
+                d_model=c.d_model,
+                num_heads=c.num_heads,
+                d_ff=c.d_ff,
+                num_layers=c.num_encoder_layers,
+                kernel_size=c.conformer_kernel_size,
+                dropout_rate=c.dropout_rate,
+                subsampling_factor=c.subsampling_factor,
+                dtype=c.dtype,
+            )
+        elif c.encoder_type == "transformer":
+            self.encoder = TransformerEncoder(
+                d_model=c.d_model,
+                num_heads=c.num_heads,
+                d_ff=c.d_ff,
+                num_layers=c.num_encoder_layers,
+                dropout_rate=c.dropout_rate,
+                subsampling_factor=c.subsampling_factor,
+                dtype=c.dtype,
+            )
+        else:
+            raise ValueError(f"unknown encoder_type {c.encoder_type}")
+        if c.ctc_weight < 1.0:
+            self.decoder = TransformerDecoder(
+                vocab_size=c.vocab_size,
+                d_model=c.d_model,
+                num_heads=c.num_heads,
+                d_ff=c.decoder_d_ff,
+                num_layers=c.num_decoder_layers,
+                dropout_rate=c.dropout_rate,
+                dtype=c.dtype,
+            )
+        if c.ctc_weight > 0.0:
+            self.ctc_head = nn.Dense(
+                c.vocab_size,
+                dtype=c.dtype,
+                name="ctc_head",
+                kernel_init=nn.with_logical_partitioning(
+                    nn.initializers.xavier_uniform(), ("embed", "vocab")
+                ),
+            )
+        if c.normalize == "global_mvn":
+            self.mvn = GlobalMVN(c.n_mels)
+
+    def _frontend(self, speech, speech_lengths, deterministic: bool):
+        c = self.config
+        if c.input_type == "raw":
+            feats, feat_lengths = log_mel_spectrogram(
+                speech, speech_lengths, c.fs, c.n_fft, c.hop_length,
+                c.win_length, c.n_mels,
+            )
+        else:
+            feats, feat_lengths = speech, speech_lengths
+        if c.use_specaug and not deterministic:
+            key = self.make_rng("specaug")
+            feats = specaug(
+                key, feats, feat_lengths,
+                num_freq_masks=c.num_freq_masks,
+                freq_mask_width=c.freq_mask_width,
+                num_time_masks=c.num_time_masks,
+                time_mask_width=c.time_mask_width,
+            )
+        if c.normalize == "global_mvn":
+            feats = self.mvn(feats, feat_lengths)
+        elif c.normalize == "utterance_mvn":
+            feats = utterance_mvn(feats, feat_lengths)
+        return feats, feat_lengths
+
+    def encode(self, speech, speech_lengths, deterministic: bool = True):
+        """Frontend + encoder (`espnet_model.py:351`), used by inference."""
+        feats, feat_lengths = self._frontend(speech, speech_lengths, deterministic)
+        return self.encoder(feats, feat_lengths, deterministic)
+
+    def ctc_log_probs(self, encoder_out):
+        return jax.nn.log_softmax(
+            self.ctc_head(encoder_out).astype(jnp.float32), axis=-1
+        )
+
+    def decoder_score_step(self, tokens_step, pos, memory, memory_lengths, cache):
+        return self.decoder.score_step(tokens_step, pos, memory, memory_lengths, cache)
+
+    def decoder_init_cache(self, batch, max_len):
+        return self.decoder.init_cache(batch, max_len)
+
+    def __call__(
+        self,
+        speech: jnp.ndarray,
+        speech_lengths: jnp.ndarray,
+        text: jnp.ndarray,
+        text_lengths: jnp.ndarray,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        c = self.config
+        enc, enc_lengths = self.encode(speech, speech_lengths, deterministic)
+        stats: Dict[str, jnp.ndarray] = {}
+        loss_ctc = 0.0
+        loss_att = 0.0
+        if c.ctc_weight > 0.0:
+            ctc_logits = self.ctc_head(enc)
+            loss_ctc = ctc_loss(
+                ctc_logits, text, enc_lengths, text_lengths, c.blank_id
+            )
+            stats["loss_ctc"] = loss_ctc
+        if c.ctc_weight < 1.0:
+            ys_in, ys_out, ys_lengths = add_sos_eos(
+                text, text_lengths, c.sos_id, c.eos_id
+            )
+            logits = self.decoder(
+                ys_in, ys_lengths, enc, enc_lengths, deterministic
+            )
+            valid = make_valid_mask(ys_lengths, ys_in.shape[1])
+            loss_att = label_smoothing_loss(logits, ys_out, valid, c.lsm_weight)
+            stats["loss_att"] = loss_att
+            stats["acc"] = token_accuracy(logits, ys_out, valid)
+        loss = c.ctc_weight * loss_ctc + (1.0 - c.ctc_weight) * loss_att
+        stats["loss"] = loss
+        return loss, stats

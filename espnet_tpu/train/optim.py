@@ -1,0 +1,48 @@
+"""Optimizer assembly (optax): clip -> adam/adamw/sgd -> schedule.
+
+Behavioral spec: the reference's optimizer registry
+(`espnet2/tasks/abs_task.py:872-905`: adam/adamw/sgd/adadelta…, grad-clip +
+nan-skip in `espnet2/train/trainer.py:653-697`). Nan-skip is implemented in
+the train step (train/steps.py), not here, so the optimizer chain stays a
+pure optax transform.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import optax
+
+from espnet_tpu.train.schedulers import build_schedule
+
+
+def build_optimizer(
+    name: str = "adam",
+    lr: float = 1e-3,
+    schedule: str = "warmuplr",
+    warmup_steps: int = 25000,
+    d_model: int = 256,
+    weight_decay: float = 0.0,
+    betas=(0.9, 0.98),
+    eps: float = 1e-9,
+    grad_clip: float = 5.0,
+    momentum: float = 0.9,
+) -> optax.GradientTransformation:
+    sched = build_schedule(schedule, lr, warmup_steps=warmup_steps,
+                           d_model=d_model)
+    if name == "adam":
+        opt = optax.adam(sched, b1=betas[0], b2=betas[1], eps=eps)
+    elif name == "adamw":
+        opt = optax.adamw(sched, b1=betas[0], b2=betas[1], eps=eps,
+                          weight_decay=weight_decay)
+    elif name == "sgd":
+        opt = optax.sgd(sched, momentum=momentum)
+    elif name == "adadelta":
+        opt = optax.adadelta(sched)
+    else:
+        raise ValueError(f"unknown optimizer {name}")
+    chain = []
+    if grad_clip and grad_clip > 0:
+        chain.append(optax.clip_by_global_norm(grad_clip))
+    chain.append(opt)
+    return optax.chain(*chain)

