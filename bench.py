@@ -1,0 +1,109 @@
+"""Training-throughput benchmark on the flagship conformer ASR model.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+Metric: training audio-seconds per wall-second on one chip (how many
+seconds of 16 kHz speech the train step consumes per second), measured on
+a LibriSpeech-100-scale conformer (12x256 encoder, 6x256 decoder, joint
+CTC/attention, bf16 compute) at steady state.
+
+vs_baseline: the reference publishes no speed numbers (SURVEY §6 — accuracy
+only), so the denominator is our documented estimate of the reference
+recipe's single-GPU throughput: ESPnet2 conformer-12L LibriSpeech training
+at batch_bins-equivalent load runs ~1.2 s/step for ~8 min of audio per step
+on one V100 => ~400 audio-seconds/s. This is an estimate, recorded here so
+the ratio is at least stable across rounds.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_AUDIO_SEC_PER_S = 400.0
+FS = 16000
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from espnet_tpu.models.asr import ASRConfig, ASRModel
+    from espnet_tpu.train.optim import build_optimizer
+    from espnet_tpu.train.steps import TrainState, make_train_step
+
+    cfg = ASRConfig(
+        vocab_size=5000,
+        input_type="raw",
+        n_mels=80,
+        use_specaug=True,
+        normalize="utterance_mvn",
+        encoder_type="conformer",
+        d_model=256,
+        num_heads=4,
+        d_ff=2048,
+        num_encoder_layers=12,
+        num_decoder_layers=6,
+        decoder_d_ff=2048,
+        ctc_weight=0.3,
+        dtype=jnp.bfloat16,
+    )
+    model = ASRModel(cfg)
+    tx = build_optimizer("adam", lr=2e-3, schedule="warmuplr",
+                         warmup_steps=25000, d_model=cfg.d_model)
+    train_step = make_train_step(model, tx)
+
+    b, secs, u = 32, 15.0, 40
+    samples = int(secs * FS)
+    rng = np.random.RandomState(0)
+    batch = {
+        "speech": rng.randn(b, samples).astype(np.float32) * 0.1,
+        "speech_lengths": np.full((b,), samples, np.int32),
+        "text": rng.randint(1, cfg.vocab_size - 1, (b, u)).astype(np.int32),
+        "text_lengths": np.full((b,), u, np.int32),
+    }
+    import flax.linen as nn
+
+    args = tuple(
+        jnp.asarray(batch[k])
+        for k in ("speech", "speech_lengths", "text", "text_lengths")
+    )
+    variables = nn.meta.unbox(model.init(jax.random.PRNGKey(0), *args, True))
+    state = TrainState.create(
+        variables["params"], tx,
+        {k: v for k, v in variables.items() if k != "params"},
+    )
+    device_batch = {
+        k: jax.device_put(jnp.asarray(v)) for k, v in batch.items()
+    }
+    key = jax.random.PRNGKey(1)
+
+    # warmup / compile
+    state, stats = train_step(state, device_batch, key)
+    jax.block_until_ready(stats["loss"])
+
+    n_steps = 10
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, stats = train_step(state, device_batch, key)
+    jax.block_until_ready(stats["loss"])
+    dt = time.perf_counter() - t0
+
+    audio_seconds = float(np.sum(batch["speech_lengths"])) / FS * n_steps
+    value = audio_seconds / dt
+    print(json.dumps({
+        "metric": "train_audio_seconds_per_s_per_chip",
+        "value": round(value, 2),
+        "unit": "audio-s/s",
+        "vs_baseline": round(value / BASELINE_AUDIO_SEC_PER_S, 3),
+        "step_time_s": round(dt / n_steps, 4),
+        "config": "conformer12x256-dec6 bf16 b32x15s",
+        "device": str(jax.devices()[0]),
+        "loss": float(stats["loss"]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -59,9 +59,13 @@ class Trainer:
 
     def init_state(self, init_batch: Dict[str, np.ndarray],
                    extra_var_init: Optional[Dict] = None) -> TrainState:
+        import flax.linen as nn
+
         rng = jax.random.PRNGKey(self.options.seed)
-        variables = self.model.init(
-            rng, *[init_batch[k] for k in self.batch_arg_names], True
+        variables = nn.meta.unbox(
+            self.model.init(
+                rng, *[init_batch[k] for k in self.batch_arg_names], True
+            )
         )
         params = variables["params"]
         extra = {k: v for k, v in variables.items() if k != "params"}

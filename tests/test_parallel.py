@@ -1,0 +1,112 @@
+"""Sharded training tests on the 8-device virtual CPU mesh (SURVEY §4
+takeaway: multi-device paths exercised via
+xla_force_host_platform_device_count)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from espnet_tpu.models.asr import ASRConfig, ASRModel
+from espnet_tpu.parallel.api import make_batch_put, shard_state, state_shardings
+from espnet_tpu.parallel.mesh import make_mesh
+from espnet_tpu.train.optim import build_optimizer
+from espnet_tpu.train.steps import TrainState, make_train_step
+
+
+def _setup(model_parallel=1, b=8, optimizer="adam"):
+    cfg = ASRConfig(
+        vocab_size=16,
+        input_type="feats",
+        n_mels=8,
+        use_specaug=False,
+        normalize="utterance_mvn",
+        encoder_type="transformer",
+        d_model=16,
+        num_heads=2,
+        d_ff=32,
+        num_encoder_layers=1,
+        num_decoder_layers=1,
+        decoder_d_ff=32,
+        dropout_rate=0.0,
+        ctc_weight=0.5,
+    )
+    model = ASRModel(cfg)
+    tx = build_optimizer(optimizer, lr=1e-3, schedule="constant")
+    rng = np.random.RandomState(0)
+    batch = {
+        "speech": rng.randn(b, 40, 8).astype(np.float32),
+        "speech_lengths": np.full((b,), 40, np.int32),
+        "text": rng.randint(1, 14, (b, 5)).astype(np.int32),
+        "text_lengths": np.full((b,), 5, np.int32),
+    }
+    args = tuple(
+        jnp.asarray(batch[k])
+        for k in ("speech", "speech_lengths", "text", "text_lengths")
+    )
+    variables = model.init(jax.random.PRNGKey(0), *args, True)
+    state = TrainState.create(
+        variables["params"], tx,
+        {k: v for k, v in variables.items() if k != "params"},
+    )
+    return model, tx, state, batch
+
+
+def test_eight_devices_present():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("model_parallel", [1, 2])
+def test_sharded_train_step(model_parallel):
+    model, tx, boxed_state, batch = _setup(model_parallel)
+    mesh = make_mesh(model_parallel)
+    shardings = state_shardings(boxed_state, mesh)
+    state = shard_state(boxed_state, shardings)
+    put = make_batch_put(mesh)
+    db = put(batch)
+    step = make_train_step(model, tx)
+    with mesh:
+        state, stats = step(state, db, jax.random.PRNGKey(1))
+    assert np.isfinite(float(stats["loss"]))
+    assert int(state.step) == 1
+
+
+def test_sharded_matches_single_device():
+    """DP-sharded step == single-device step (same math, psum'd grads).
+
+    SGD so the parameter delta is proportional to the gradient — adam's
+    step-1 update is ~sign(g) and amplifies FP reduction-order noise.
+    """
+    model, tx, boxed_state, batch = _setup(b=8, optimizer="sgd")
+    import flax.linen as nn
+
+    raw_state = nn.meta.unbox(boxed_state)
+    step = make_train_step(model, tx, donate=False)
+
+    # single device
+    db1 = {k: jnp.asarray(v) for k, v in batch.items()}
+    s1, stats1 = step(raw_state, db1, jax.random.PRNGKey(1))
+
+    # 8-way data parallel
+    mesh = make_mesh(1)
+    shardings = state_shardings(boxed_state, mesh)
+    state = shard_state(boxed_state, shardings)
+    db8 = make_batch_put(mesh)(batch)
+    with mesh:
+        s8, stats8 = step(state, db8, jax.random.PRNGKey(1))
+
+    np.testing.assert_allclose(
+        float(stats1["loss"]), float(stats8["loss"]), rtol=1e-5
+    )
+    l1 = jax.tree_util.tree_leaves(s1.params)
+    l8 = jax.tree_util.tree_leaves(s8.params)
+    for a, b_ in zip(l1, l8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
+
+
+def test_batch_put_pads_to_mesh():
+    model, tx, boxed_state, batch = _setup(b=6)  # 6 not divisible by 8
+    mesh = make_mesh(1)
+    db = make_batch_put(mesh)(batch)
+    assert db["speech"].shape[0] == 8
