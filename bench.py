@@ -26,6 +26,19 @@ BASELINE_AUDIO_SEC_PER_S = 400.0
 FS = 16000
 
 
+def _init_args(cfg):
+    import jax.numpy as jnp
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    return (
+        jnp.asarray(rng.randn(1, FS).astype(np.float32)),
+        jnp.asarray([FS], np.int32),
+        jnp.asarray(rng.randint(1, cfg.vocab_size - 1, (1, 4)).astype(np.int32)),
+        jnp.asarray([4], np.int32),
+    )
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -66,11 +79,14 @@ def main() -> None:
     }
     import flax.linen as nn
 
-    args = tuple(
-        jnp.asarray(batch[k])
-        for k in ("speech", "speech_lengths", "text", "text_lengths")
+    # init on a tiny batch (params are shape-independent) and under jit —
+    # eager init dispatches op-by-op and takes minutes on a remote TPU.
+    tiny = _init_args(cfg)
+    variables = nn.meta.unbox(
+        jax.jit(model.init, static_argnums=(5,))(
+            jax.random.PRNGKey(0), *tiny, True
+        )
     )
-    variables = nn.meta.unbox(model.init(jax.random.PRNGKey(0), *args, True))
     state = TrainState.create(
         variables["params"], tx,
         {k: v for k, v in variables.items() if k != "params"},

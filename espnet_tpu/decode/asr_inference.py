@@ -1,0 +1,155 @@
+"""Speech2Text: end-to-end batched ASR inference.
+
+Behavioral spec: reference `espnet2/bin/asr_inference.py:50` (Speech2Text:
+builds model+LM from config/ckpt, assembles scorers {decoder, ctc, lm,
+length_bonus} with weights, runs BeamSearch per utterance, converts ids ->
+tokens -> text). TPU version decodes a *batch* of utterances through one
+jitted while_loop program per shape bucket.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from espnet_tpu.decode.beam_search import BeamSearchConfig, batched_beam_search
+from espnet_tpu.models.asr import ASRModel
+
+
+@dataclasses.dataclass
+class DecodeResult:
+    key: str
+    token_ids: List[int]
+    tokens: List[str]
+    text: str
+    score: float
+    nbest: List[Tuple[List[int], float]]
+
+
+class Speech2Text:
+    """Batched beam-search decoder over a trained ASRModel."""
+
+    def __init__(
+        self,
+        model: ASRModel,
+        params,
+        extra_vars: Optional[Dict] = None,
+        tokenizer=None,
+        converter=None,
+        beam_size: int = 10,
+        ctc_weight: float = 0.3,
+        lm_weight: float = 0.0,
+        lm_model=None,
+        lm_params=None,
+        penalty: float = 0.0,
+        maxlenratio: float = 0.0,
+        minlenratio: float = 0.0,
+        max_steps: int = 128,
+    ):
+        self.model = model
+        self.variables = {"params": params, **(extra_vars or {})}
+        self.tokenizer = tokenizer
+        self.converter = converter
+        self.lm_model = lm_model
+        self.lm_variables = {"params": lm_params} if lm_params is not None else None
+        cfg = model.config
+        self.cfg = BeamSearchConfig(
+            beam_size=beam_size,
+            att_weight=1.0 - ctc_weight,
+            ctc_weight=ctc_weight,
+            lm_weight=lm_weight,
+            penalty=penalty,
+            maxlenratio=maxlenratio,
+            minlenratio=minlenratio,
+        )
+        self.max_steps = max_steps
+        self.sos = cfg.sos_id
+        self.eos = cfg.eos_id
+        self.vocab_size = cfg.vocab_size
+        self._decode_jit = jax.jit(self._decode_batch)
+
+    # --- the jitted program: speech -> n-best token matrices ---
+    def _decode_batch(self, speech, speech_lengths):
+        model, variables = self.model, self.variables
+        enc, enc_lens = model.apply(
+            variables, speech, speech_lengths, method=ASRModel.encode
+        )
+        b = enc.shape[0]
+        w = self.cfg.beam_size
+        use_ctc = self.cfg.ctc_weight > 0
+        ctc_lp = (
+            model.apply(variables, enc, method=ASRModel.ctc_log_probs)
+            if use_ctc else None
+        )
+        # tile encoder memory across beams: (B*W, T, D)
+        mem = jnp.repeat(enc, w, axis=0)
+        mem_lens = jnp.repeat(enc_lens, w, axis=0)
+        att_cache = model.apply(
+            variables, b * w, self.max_steps + 1,
+            method=ASRModel.decoder_init_cache,
+        )
+
+        def att_score_fn(tokens, pos, cache):
+            return model.apply(
+                variables, tokens, pos, mem, mem_lens, cache,
+                method=ASRModel.decoder_score_step,
+            )
+
+        lm_score_fn = None
+        lm_cache = None
+        if self.lm_model is not None and self.cfg.lm_weight > 0:
+            lm_cache = self.lm_model.apply(
+                self.lm_variables, b * w, self.max_steps + 1,
+                method=type(self.lm_model).init_cache,
+            )
+
+            def lm_score_fn(tokens, pos, cache):  # noqa: F811
+                return self.lm_model.apply(
+                    self.lm_variables, tokens, pos, cache,
+                    method=type(self.lm_model).score_step,
+                )
+
+        return batched_beam_search(
+            self.cfg, self.sos, self.eos, self.vocab_size, enc_lens,
+            att_score_fn, att_cache,
+            ctc_log_probs=ctc_lp,
+            lm_score_fn=lm_score_fn,
+            lm_cache_init=lm_cache,
+            max_steps=self.max_steps,
+        )
+
+    def __call__(
+        self,
+        speech: np.ndarray,          # (B, N) padded waveforms (or feats)
+        speech_lengths: np.ndarray,  # (B,)
+        keys: Optional[Sequence[str]] = None,
+        nbest: int = 1,
+    ) -> List[DecodeResult]:
+        yseq, ylen, score = self._decode_jit(
+            jnp.asarray(speech), jnp.asarray(speech_lengths)
+        )
+        yseq, ylen, score = map(np.asarray, (yseq, ylen, score))
+        results = []
+        for bi in range(yseq.shape[0]):
+            hyps = []
+            for wi in range(yseq.shape[1]):
+                ids = yseq[bi, wi, : ylen[bi, wi]].tolist()
+                hyps.append((ids, float(score[bi, wi])))
+            ids, sc = hyps[0]
+            tokens = self.converter.ids2tokens(ids) if self.converter else []
+            text = self.tokenizer.tokens2text(tokens) if self.tokenizer else ""
+            results.append(
+                DecodeResult(
+                    key=keys[bi] if keys else str(bi),
+                    token_ids=ids,
+                    tokens=tokens,
+                    text=text,
+                    score=sc,
+                    nbest=hyps[:nbest],
+                )
+            )
+        return results

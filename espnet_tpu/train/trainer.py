@@ -16,6 +16,7 @@ import time
 from typing import Any, Callable, Dict, Iterable, List, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from espnet_tpu.train.checkpoint import CheckpointManager
@@ -62,9 +63,14 @@ class Trainer:
         import flax.linen as nn
 
         rng = jax.random.PRNGKey(self.options.seed)
+        # one utterance suffices (params are shape-independent); jit the init
+        # so it compiles instead of dispatching op-by-op on a remote device.
+        args = tuple(
+            jnp.asarray(init_batch[k][:1]) for k in self.batch_arg_names
+        )
         variables = nn.meta.unbox(
-            self.model.init(
-                rng, *[init_batch[k] for k in self.batch_arg_names], True
+            jax.jit(self.model.init, static_argnums=(len(args) + 1,))(
+                rng, *args, True
             )
         )
         params = variables["params"]
