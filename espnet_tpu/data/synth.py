@@ -20,9 +20,13 @@ WORDS = ["ichi", "ni", "san", "yon", "go", "roku", "nana", "hachi"]
 
 
 def synth_utterance(
-    word_ids: List[int], fs: int = 16000, word_dur: float = 0.12,
+    word_ids: List[int], fs: int = 16000, word_dur: float = 0.40,
     rng: np.random.RandomState = None,
 ) -> np.ndarray:
+    # word_dur must keep CTC feasible: a word of <=5 chars + space needs
+    # ~6 encoder frames = 24 feature frames = 0.19 s at hop 128/16k; 0.40 s
+    # gives a comfortable margin (the reference recipes likewise filter
+    # too-short utterances at stage 4, egs2/TEMPLATE/asr1/asr.sh:652).
     rng = rng or np.random.RandomState(0)
     n = int(word_dur * fs)
     t = np.arange(n) / fs

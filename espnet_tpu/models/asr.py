@@ -226,6 +226,16 @@ class ASRModel(nn.Module):
                 ctc_logits, text, enc_lengths, text_lengths, c.blank_id
             )
             stats["loss_ctc"] = loss_ctc
+            # diagnostic: fraction of utterances whose encoder output is too
+            # short for any CTC alignment (zero_infinity silently zeroes
+            # them — a high value means the data/subsampling config is bad)
+            repeats = jnp.sum(
+                (text[:, 1:] == text[:, :-1])
+                & (jnp.arange(1, text.shape[1])[None] < text_lengths[:, None]),
+                axis=1,
+            )
+            infeasible = enc_lengths < (text_lengths + repeats)
+            stats["ctc_infeasible"] = jnp.mean(infeasible.astype(jnp.float32))
         if c.ctc_weight < 1.0:
             ys_in, ys_out, ys_lengths = add_sos_eos(
                 text, text_lengths, c.sos_id, c.eos_id

@@ -1,0 +1,121 @@
+"""YAML config + CLI override system.
+
+Behavioral spec: reference `espnet2/utils/config_argparse.py` (YAML file
+provides argparse defaults), `espnet2/train/class_choices.py` (ClassChoices
+registries adding --<name>/--<name>_conf pairs) and `--print_config`
+(`espnet2/tasks/abs_task.py:1019`). Simplified to a flat
+dataclass-per-section config: YAML sections map onto dataclasses, CLI
+overrides use dotted keys (--model.d_model 512), and the fully-resolved
+config is dumped to <output_dir>/config.yaml which inference re-reads
+(`abs_task.py:1203,1826`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+from pathlib import Path
+from typing import Any, Dict, Optional, Type
+
+import yaml
+
+
+def load_yaml(path) -> Dict[str, Any]:
+    with open(path, encoding="utf-8") as f:
+        return yaml.safe_load(f) or {}
+
+
+def dump_yaml(obj: Dict[str, Any], path) -> None:
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w", encoding="utf-8") as f:
+        yaml.safe_dump(obj, f, sort_keys=False)
+
+
+def _coerce(value: str, typ) -> Any:
+    """Parse a CLI string into the field type."""
+    if typ is bool or typ == Optional[bool]:
+        return str(value).lower() in ("1", "true", "yes", "on")
+    for t in (int, float):
+        if typ is t:
+            return t(value)
+    if typ in (Optional[int],):
+        return None if value in ("none", "None", "null") else int(value)
+    if typ in (Optional[float],):
+        return None if value in ("none", "None", "null") else float(value)
+    if isinstance(value, str) and value.lower() in ("none", "null"):
+        return None
+    # tuples like "0,20"
+    if str(typ).startswith("typing.Tuple") or isinstance(typ, type(tuple)):
+        if isinstance(value, str) and "," in value:
+            return tuple(int(x) for x in value.split(","))
+    return value
+
+
+def dataclass_from_dict(cls: Type, d: Dict[str, Any]):
+    """Build a dataclass, coercing string values and rejecting unknown keys."""
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    kwargs = {}
+    for k, v in (d or {}).items():
+        if k not in fields:
+            raise KeyError(
+                f"unknown config key '{k}' for {cls.__name__}; "
+                f"valid: {sorted(fields)}"
+            )
+        f = fields[k]
+        if isinstance(v, str):
+            v = _coerce(v, f.type)
+        if isinstance(v, list) and (
+            str(f.type).startswith("typing.Tuple") or f.type is tuple
+        ):
+            v = tuple(v)
+        kwargs[k] = v
+    return cls(**kwargs)
+
+
+def dataclass_to_dict(obj) -> Dict[str, Any]:
+    out = {}
+    for f in dataclasses.fields(obj):
+        v = getattr(obj, f.name)
+        if isinstance(v, tuple):
+            v = list(v)
+        if dataclasses.is_dataclass(v):
+            v = dataclass_to_dict(v)
+        if not isinstance(v, (int, float, str, bool, list, dict, type(None))):
+            v = str(v)
+        out[f.name] = v
+    return out
+
+
+def parse_cli_overrides(argv) -> Dict[str, Any]:
+    """['--model.d_model', '512', '--flag', 'true'] -> nested dict."""
+    out: Dict[str, Any] = {}
+    i = 0
+    while i < len(argv):
+        arg = argv[i]
+        if not arg.startswith("--"):
+            raise ValueError(f"expected --key, got {arg}")
+        key = arg[2:]
+        if "=" in key:
+            key, value = key.split("=", 1)
+            i += 1
+        else:
+            if i + 1 >= len(argv):
+                raise ValueError(f"missing value for {arg}")
+            value = argv[i + 1]
+            i += 2
+        cur = out
+        parts = key.split(".")
+        for p in parts[:-1]:
+            cur = cur.setdefault(p, {})
+        cur[parts[-1]] = value
+    return out
+
+
+def merge_dicts(base: Dict, override: Dict) -> Dict:
+    out = dict(base)
+    for k, v in override.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = merge_dicts(out[k], v)
+        else:
+            out[k] = v
+    return out
