@@ -18,9 +18,14 @@ the ratio is at least stable across rounds.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
+
+
+def _log(msg):
+    print(f"# {time.strftime('%H:%M:%S')} {msg}", file=sys.stderr, flush=True)
 
 BASELINE_AUDIO_SEC_PER_S = 400.0
 FS = 16000
@@ -81,12 +86,16 @@ def main() -> None:
 
     # init on a tiny batch (params are shape-independent) and under jit —
     # eager init dispatches op-by-op and takes minutes on a remote TPU.
+    _log(f"devices: {jax.devices()}")
     tiny = _init_args(cfg)
+    t0 = time.perf_counter()
     variables = nn.meta.unbox(
         jax.jit(model.init, static_argnums=(5,))(
             jax.random.PRNGKey(0), *tiny, True
         )
     )
+    variables = jax.block_until_ready(variables)
+    _log(f"init done in {time.perf_counter() - t0:.1f}s")
     state = TrainState.create(
         variables["params"], tx,
         {k: v for k, v in variables.items() if k != "params"},
@@ -97,8 +106,10 @@ def main() -> None:
     key = jax.random.PRNGKey(1)
 
     # warmup / compile
+    t0 = time.perf_counter()
     state, stats = train_step(state, device_batch, key)
     jax.block_until_ready(stats["loss"])
+    _log(f"train step compiled+run in {time.perf_counter() - t0:.1f}s")
 
     n_steps = 10
     t0 = time.perf_counter()

@@ -1,0 +1,170 @@
+"""ASR inference CLI: decode a data dir with a trained experiment.
+
+Equivalent of `python -m espnet2.bin.asr_inference` (reference
+`espnet2/bin/asr_inference.py:518`) + the recipe's scoring stage
+(sclite-style summary when a reference `text` exists). Usage:
+
+    python -m espnet_tpu.bin.asr_inference \
+        --exp_dir exp/asr --data_dir data/test --output_dir exp/asr/decode \
+        --beam_size 10 --ctc_weight 0.3 [--params path.msgpack]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+from pathlib import Path
+
+import numpy as np
+
+logger = logging.getLogger("espnet_tpu")
+
+
+def get_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--exp_dir", required=True)
+    p.add_argument("--data_dir", required=True)
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--params", default=None,
+                   help="params msgpack (default: best/averaged in exp_dir)")
+    p.add_argument("--beam_size", type=int, default=10)
+    p.add_argument("--ctc_weight", type=float, default=0.3)
+    p.add_argument("--lm_weight", type=float, default=0.0)
+    p.add_argument("--lm_exp_dir", default=None)
+    p.add_argument("--penalty", type=float, default=0.0)
+    p.add_argument("--maxlenratio", type=float, default=0.0)
+    p.add_argument("--minlenratio", type=float, default=0.0)
+    p.add_argument("--max_steps", type=int, default=160)
+    p.add_argument("--nbest", type=int, default=1)
+    p.add_argument("--batch_size", type=int, default=8)
+    return p
+
+
+def pick_params_file(exp_dir: Path) -> Path:
+    for pat in ("*.ave.params.msgpack", "valid.acc.best.params.msgpack",
+                "train.loss.best.params.msgpack", "ep*.params.msgpack"):
+        hits = sorted(exp_dir.glob(pat))
+        if hits:
+            return hits[-1]
+    raise FileNotFoundError(f"no params file in {exp_dir}")
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(levelname)s %(message)s")
+    args = get_parser().parse_args(argv)
+    import jax
+
+    from espnet_tpu.data.dataset import EpochIterator
+    from espnet_tpu.data.fileio import read_2column_text, write_2column_text
+    from espnet_tpu.data.sampler import build_batches
+    from espnet_tpu.decode.asr_inference import Speech2Text
+    from espnet_tpu.tasks.asr import ASRTask
+    from espnet_tpu.train.checkpoint import load_pytree
+    from espnet_tpu.train.collect_stats import load_stats, mvn_variables
+    from espnet_tpu.utils.metrics import sclite_report, corpus_error_rate
+
+    exp = Path(args.exp_dir)
+    out = Path(args.output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    cfg = ASRTask.load_config(exp)
+    data = cfg["data"]
+    tokenizer = ASRTask.build_tokenizer(data, exp)
+    converter = ASRTask.build_token_list(data, exp, tokenizer)
+    model = ASRTask.build_model(cfg["model"], len(converter))
+
+    # target structure for deserialization, then load trained params
+    ds = ASRTask.build_dataset(data, args.data_dir, tokenizer, converter)
+    shapes = {"speech": ds.speech_lengths(), "text": ds.text_lengths()}
+    batches = build_batches(
+        shapes, batch_size=args.batch_size,
+        length_quantum=data.length_quantum, text_quantum=data.text_quantum,
+    )
+    it = EpochIterator(ds, batches, shuffle=False, prefetch=2)
+    batch0 = next(it.epoch(0))
+    import flax.linen as nn
+    import jax.numpy as jnp
+
+    target = nn.meta.unbox(
+        jax.jit(model.init, static_argnums=(5,))(
+            jax.random.PRNGKey(0),
+            jnp.asarray(batch0["speech"][:1]),
+            jnp.asarray(batch0["speech_lengths"][:1]),
+            jnp.asarray(batch0["text"][:1]),
+            jnp.asarray(batch0["text_lengths"][:1]),
+            True,
+        )
+    )
+    params_file = Path(args.params) if args.params else pick_params_file(exp)
+    logger.info("loading params: %s", params_file)
+    params = load_pytree(params_file, target["params"])
+    extra = {k: v for k, v in target.items() if k != "params"}
+    stats_path = exp / "stats" / "feats_stats.npz"
+    if model.config.normalize == "global_mvn" and stats_path.exists():
+        extra["mvn"] = mvn_variables(load_stats(stats_path))
+
+    lm_model = lm_params = None
+    if args.lm_exp_dir and args.lm_weight > 0:
+        from espnet_tpu.tasks.lm import LMTask
+
+        lm_exp = Path(args.lm_exp_dir)
+        lm_cfg = LMTask.load_config(lm_exp)
+        train_lm = LMTask.build_model(lm_cfg["model"], len(converter))
+        lm_target = nn.meta.unbox(
+            train_lm.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32),
+                jnp.asarray([4]), True,
+            )
+        )
+        full = load_pytree(pick_params_file(lm_exp), lm_target["params"])
+        lm_model = LMTask.build_inference_lm(lm_cfg["model"], len(converter))
+        lm_params = full["lm"]
+
+    s2t = Speech2Text(
+        model, params, extra, tokenizer, converter,
+        beam_size=args.beam_size, ctc_weight=args.ctc_weight,
+        lm_weight=args.lm_weight, lm_model=lm_model, lm_params=lm_params,
+        penalty=args.penalty, maxlenratio=args.maxlenratio,
+        minlenratio=args.minlenratio, max_steps=args.max_steps,
+    )
+
+    hyps_text = {}
+    nbest_rows = []
+    for batch in it.epoch(0):
+        keys = batch.pop("keys")
+        results = s2t(batch["speech"], batch["speech_lengths"], keys=keys,
+                      nbest=args.nbest)
+        for r in results:
+            hyps_text[r.key] = r.text
+            nbest_rows.append({
+                "key": r.key, "text": r.text, "score": r.score,
+                "nbest": [{"ids": ids, "score": s} for ids, s in r.nbest],
+            })
+        logger.info("decoded %d utts", len(hyps_text))
+    write_2column_text(out / "text", hyps_text)
+    with open(out / "nbest.jsonl", "w") as f:
+        for row in nbest_rows:
+            f.write(json.dumps(row) + "\n")
+
+    ref_path = Path(args.data_dir) / "text"
+    if ref_path.exists():
+        refs = {k: v.split() for k, v in read_2column_text(ref_path).items()
+                if k in hyps_text}
+        hyp_words = {k: v.split() for k, v in hyps_text.items()}
+        report = sclite_report(refs, hyp_words)
+        rate, _ = corpus_error_rate(refs, hyp_words)
+        (out / "score_wer.txt").write_text(report + "\n")
+        logger.info("WER %s", report)
+        # CER
+        refs_c = {k: list(" ".join(v)) for k, v in
+                  ((k, v) for k, v in refs.items())}
+        hyps_c = {k: list(" ".join(v)) for k, v in hyp_words.items()}
+        (out / "score_cer.txt").write_text(
+            sclite_report(refs_c, hyps_c) + "\n"
+        )
+    return hyps_text
+
+
+if __name__ == "__main__":
+    main()

@@ -86,9 +86,10 @@ def load_stats(path) -> Dict[str, np.ndarray]:
     return {k: z[k] for k in ("count", "sum", "sum_square")}
 
 
-def mvn_variables(stats: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
-    """'mvn' collection values for ASRModel.GlobalMVN."""
+def mvn_variables(stats: Dict[str, np.ndarray]) -> Dict[str, Dict]:
+    """Content of the 'mvn' variable collection for ASRModel (the inner
+    'mvn' key is the GlobalMVN submodule's path inside ASRModel)."""
     from espnet_tpu.ops.normalize import global_mvn_params
 
     mean, inv_std = global_mvn_params(stats)
-    return {"mean": jnp.asarray(mean), "inv_std": jnp.asarray(inv_std)}
+    return {"mvn": {"mean": jnp.asarray(mean), "inv_std": jnp.asarray(inv_std)}}

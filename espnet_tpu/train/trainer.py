@@ -108,7 +108,7 @@ class Trainer:
                 with sub.measure_time("step_time"):
                     state, stats = self.train_step(state, batch, rng)
                     stats = jax.device_get(stats)
-                sub.register(stats, weight=len(batch["speech"]))
+                sub.register(stats, weight=len(batch[self.batch_arg_names[0]]))
                 if i % opts.log_interval == 0:
                     logger.info(sub.log_message(i, n_steps))
             train_stats = self.reporter.finish_phase(sub)
@@ -121,7 +121,7 @@ class Trainer:
                         {k: v for k, v in batch.items() if k != "keys"}
                     )
                     stats = jax.device_get(self.eval_step(state, batch))
-                    sub.register(stats, weight=len(batch["speech"]))
+                    sub.register(stats, weight=len(batch[self.batch_arg_names[0]]))
                 self.reporter.finish_phase(sub)
 
             for hook in hooks:

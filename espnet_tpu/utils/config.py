@@ -32,20 +32,26 @@ def dump_yaml(obj: Dict[str, Any], path) -> None:
 
 
 def _coerce(value: str, typ) -> Any:
-    """Parse a CLI string into the field type."""
-    if typ is bool or typ == Optional[bool]:
+    """Parse a CLI string into the field type.
+
+    NB: with `from __future__ import annotations`, dataclass field types are
+    *strings* ("int", "Optional[int]", …), so matching is name-based.
+    """
+    name = typ if isinstance(typ, str) else getattr(typ, "__name__", str(typ))
+    is_opt = name.startswith("Optional[")
+    if is_opt:
+        if str(value).lower() in ("none", "null", ""):
+            return None
+        name = name[len("Optional["):-1]
+    if name in ("bool",):
         return str(value).lower() in ("1", "true", "yes", "on")
-    for t in (int, float):
-        if typ is t:
-            return t(value)
-    if typ in (Optional[int],):
-        return None if value in ("none", "None", "null") else int(value)
-    if typ in (Optional[float],):
-        return None if value in ("none", "None", "null") else float(value)
+    if name in ("int",):
+        return int(value)
+    if name in ("float",):
+        return float(value)
     if isinstance(value, str) and value.lower() in ("none", "null"):
         return None
-    # tuples like "0,20"
-    if str(typ).startswith("typing.Tuple") or isinstance(typ, type(tuple)):
+    if "Tuple" in name or "tuple" in name:
         if isinstance(value, str) and "," in value:
             return tuple(int(x) for x in value.split(","))
     return value
@@ -73,6 +79,8 @@ def dataclass_from_dict(cls: Type, d: Dict[str, Any]):
 
 
 def dataclass_to_dict(obj) -> Dict[str, Any]:
+    import numpy as np
+
     out = {}
     for f in dataclasses.fields(obj):
         v = getattr(obj, f.name)
@@ -81,7 +89,10 @@ def dataclass_to_dict(obj) -> Dict[str, Any]:
         if dataclasses.is_dataclass(v):
             v = dataclass_to_dict(v)
         if not isinstance(v, (int, float, str, bool, list, dict, type(None))):
-            v = str(v)
+            try:
+                v = np.dtype(v).name  # dtype-like (e.g. jnp.bfloat16)
+            except TypeError:
+                v = str(v)
         out[f.name] = v
     return out
 

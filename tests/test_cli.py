@@ -1,0 +1,117 @@
+"""CLI integration: the mini_an4-style staged pipeline through the real
+entry points (reference analogue: `ci/test_integration_espnet2.sh` running
+`egs2/mini_an4/asr1/run.sh`). Stages: data gen -> asr_train -> asr_inference
+(with scoring) -> lm_train -> fused decode."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from espnet_tpu.data.synth import generate_corpus
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ws")
+    generate_corpus(root / "data" / "train", n_utts=16, min_words=2, max_words=3)
+    generate_corpus(root / "data" / "test", n_utts=4, min_words=2, max_words=3,
+                    seed=99)
+    return root
+
+
+def test_asr_train_cli(workspace):
+    from espnet_tpu.bin.asr_train import main
+
+    main([
+        "--run.output_dir", str(workspace / "exp"),
+        "--run.max_epoch", "2",
+        "--run.log_interval", "1000",
+        "--data.train_dir", str(workspace / "data" / "train"),
+        "--data.valid_dir", str(workspace / "data" / "train"),
+        "--data.batch_size", "8",
+        "--model.n_mels", "24",
+        "--model.use_specaug", "false",
+        "--model.normalize", "global_mvn",
+        "--model.encoder_type", "transformer",
+        "--model.d_model", "32",
+        "--model.num_heads", "2",
+        "--model.d_ff", "64",
+        "--model.num_encoder_layers", "1",
+        "--model.num_decoder_layers", "1",
+        "--model.decoder_d_ff", "64",
+        "--model.dropout_rate", "0.0",
+        "--optim.schedule", "constant",
+        "--optim.lr", "0.003",
+    ])
+    exp = workspace / "exp"
+    assert (exp / "config.yaml").exists()
+    assert (exp / "tokens.txt").exists()
+    assert (exp / "stats" / "feats_stats.npz").exists()
+    assert (exp / "checkpoint.msgpack").exists()
+    assert (exp / "valid.acc.best.params.msgpack").exists()
+    # averaged n-best params written at the end
+    assert list(exp.glob("*.ave.params.msgpack"))
+
+
+def test_asr_inference_cli(workspace):
+    from espnet_tpu.bin.asr_inference import main
+
+    main([
+        "--exp_dir", str(workspace / "exp"),
+        "--data_dir", str(workspace / "data" / "test"),
+        "--output_dir", str(workspace / "decode"),
+        "--beam_size", "2",
+        "--ctc_weight", "0.3",
+        "--max_steps", "24",
+        "--batch_size", "4",
+    ])
+    dec = workspace / "decode"
+    assert (dec / "text").exists()
+    assert (dec / "score_wer.txt").exists()
+    content = (dec / "score_wer.txt").read_text()
+    assert "# Snt 4" in content
+
+
+def test_print_config(workspace, capsys):
+    from espnet_tpu.bin.asr_train import main
+
+    with pytest.raises(SystemExit):
+        main(["--print_config", "true", "--model.d_model", "512"])
+    out = capsys.readouterr().out
+    assert "d_model: 512" in out
+    assert "run:" in out and "optim:" in out
+
+
+def test_lm_train_and_fused_decode(workspace):
+    from espnet_tpu.bin.lm_train import main as lm_main
+
+    lm_main([
+        "--run.output_dir", str(workspace / "exp_lm"),
+        "--run.max_epoch", "2",
+        "--run.log_interval", "1000",
+        "--data.train_dir", str(workspace / "data" / "train"),
+        "--data.token_list", str(workspace / "exp" / "tokens.txt"),
+        "--model.d_model", "16",
+        "--model.num_heads", "2",
+        "--model.d_ff", "32",
+        "--model.num_layers", "1",
+        "--optim.schedule", "constant",
+    ])
+    assert (workspace / "exp_lm" / "checkpoint.msgpack").exists()
+
+    from espnet_tpu.bin.asr_inference import main as dec_main
+
+    dec_main([
+        "--exp_dir", str(workspace / "exp"),
+        "--data_dir", str(workspace / "data" / "test"),
+        "--output_dir", str(workspace / "decode_lm"),
+        "--beam_size", "2",
+        "--ctc_weight", "0.3",
+        "--lm_weight", "0.2",
+        "--lm_exp_dir", str(workspace / "exp_lm"),
+        "--max_steps", "24",
+        "--batch_size", "4",
+    ])
+    assert (workspace / "decode_lm" / "text").exists()
