@@ -93,11 +93,15 @@ def collate(
     """Assemble one padded batch: field -> (B, L_pad[, D]) + field_lengths."""
     items = [dataset[k] for k in batch.keys]
     out: Dict[str, np.ndarray] = {"keys": batch.keys}
+    # token-aligned aux fields pad to the text shape
+    aliases = {"durations": "text", "pitch": "text", "energy": "text"}
     for f in fields:
         if f not in items[0]:
             continue
         arrs = [it[f] for it in items]
-        max_len = batch.pad_shapes[f]
+        max_len = batch.pad_shapes.get(
+            f, batch.pad_shapes.get(aliases.get(f, f), 0)
+        ) or max(a.shape[0] for a in arrs)
         lengths = np.asarray([a.shape[0] for a in arrs], np.int32)
         trailing = arrs[0].shape[1:]
         buf = np.zeros((len(arrs), max_len, *trailing), arrs[0].dtype)

@@ -63,7 +63,7 @@ def make_train_step(
         loss, stats = model.apply(
             {"params": params, **extra_vars},
             *[batch[k] for k in batch_arg_names],
-            False,
+            deterministic=False,
             rngs=rngs,
         )
         return loss, stats
@@ -107,10 +107,13 @@ def make_eval_step(
     ),
 ) -> Callable:
     def eval_step(state: TrainState, batch):
+        # fixed rng: some modules sample even in eval (tacotron2's prenet
+        # keeps dropout on by design)
         loss, stats = model.apply(
             {"params": state.params, **state.extra_vars},
             *[batch[k] for k in batch_arg_names],
-            True,
+            deterministic=True,
+            rngs={"dropout": jax.random.PRNGKey(0)},
         )
         return stats
 

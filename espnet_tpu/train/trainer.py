@@ -68,9 +68,14 @@ class Trainer:
         args = tuple(
             jnp.asarray(init_batch[k][:1]) for k in self.batch_arg_names
         )
+        rngs = {
+            "params": rng,
+            "dropout": jax.random.fold_in(rng, 1),
+            "specaug": jax.random.fold_in(rng, 2),
+        }
         variables = nn.meta.unbox(
-            jax.jit(self.model.init, static_argnums=(len(args) + 1,))(
-                rng, *args, True
+            jax.jit(self.model.init, static_argnames=("deterministic",))(
+                rngs, *args, deterministic=True
             )
         )
         params = variables["params"]

@@ -68,7 +68,12 @@ def dataclass_from_dict(cls: Type, d: Dict[str, Any]):
                 f"valid: {sorted(fields)}"
             )
         f = fields[k]
-        if isinstance(v, str):
+        # nested dataclass section (detected via the field default)
+        if dataclasses.is_dataclass(f.default) and isinstance(v, dict):
+            sub = dataclass_from_dict(type(f.default), v)
+            overrides = {sk: getattr(sub, sk) for sk in v}
+            v = dataclasses.replace(f.default, **overrides)
+        elif isinstance(v, str):
             v = _coerce(v, f.type)
         if isinstance(v, list) and (
             str(f.type).startswith("typing.Tuple") or f.type is tuple
