@@ -1,0 +1,246 @@
+"""Transducer (RNN-T) ASR model: encoder + prediction net + joint network.
+
+Behavioral spec: reference `espnet2/asr_transducer/` (standalone RNN-T task:
+`espnet_transducer_model.py` loss = RNNT + aux CTC/LM weights;
+`decoder/rnn_decoder.py` LSTM prediction network;
+`joint_network.py` JointNetwork: tanh(W_enc h_enc + W_dec h_dec) -> vocab)
+and v1 `espnet/nets/pytorch_backend/transducer/`.
+
+Greedy search follows `beam_search_transducer.py` greedy_search: per frame
+emit labels while the joint argmax is non-blank (bounded by
+max_symbols_per_frame), expressed as one `lax.while_loop` over (t, emitted)
+with fixed bounds so a whole batch decodes in one compiled program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from espnet_tpu.models.conformer import ConformerEncoder
+from espnet_tpu.models.transformer import TransformerEncoder
+from espnet_tpu.ops.ctc import ctc_loss
+from espnet_tpu.ops.transducer import transducer_loss
+
+
+@dataclasses.dataclass(frozen=True)
+class TransducerConfig:
+    vocab_size: int
+    input_type: str = "raw"
+    fs: int = 16000
+    n_fft: int = 512
+    hop_length: int = 128
+    n_mels: int = 80
+    use_specaug: bool = True
+    normalize: str = "utterance_mvn"
+    encoder_type: str = "conformer"
+    d_model: int = 256
+    num_heads: int = 4
+    d_ff: int = 2048
+    num_encoder_layers: int = 12
+    subsampling_factor: int = 4
+    conformer_kernel_size: int = 31
+    # prediction network
+    decoder_embed_dim: int = 256
+    decoder_hidden: int = 256
+    decoder_layers: int = 1
+    joint_dim: int = 320
+    dropout_rate: float = 0.1
+    ctc_weight: float = 0.0  # aux CTC on encoder
+    dtype: Any = jnp.float32
+
+    @property
+    def blank_id(self) -> int:
+        return 0
+
+
+class PredictionNetwork(nn.Module):
+    """LSTM label-history encoder (`asr_transducer/decoder/rnn_decoder.py`)."""
+
+    vocab_size: int
+    embed_dim: int = 256
+    hidden: int = 256
+    layers: int = 1
+    dropout_rate: float = 0.1
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.embed = nn.Embed(self.vocab_size, self.embed_dim, dtype=self.dtype)
+        self.cells = [
+            nn.OptimizedLSTMCell(self.hidden, dtype=self.dtype, name=f"lstm{i}")
+            for i in range(self.layers)
+        ]
+        # nn.RNN over the SAME cell instances so step() and the full-sequence
+        # forward share parameters
+        self.rnns = [nn.RNN(cell) for cell in self.cells]
+        self.dropout = nn.Dropout(self.dropout_rate)
+
+    def init_state(self, batch: int):
+        z = jnp.zeros((batch, self.hidden), self.dtype)
+        return tuple((z, z) for _ in range(self.layers))
+
+    def step(self, state, token):
+        """token (B,) -> (out (B, H), new state). Blank-id tokens at the
+        start position are fed as-is (espnet prepends blank as <sos>)."""
+        x = self.embed(token)
+        new_state = []
+        for cell, st in zip(self.cells, state):
+            st2, x = cell(st, x)
+            new_state.append(st2)
+        return x, tuple(new_state)
+
+    def __call__(self, tokens, deterministic: bool = True):
+        """Full-sequence forward for training: tokens (B, U) ->
+        outputs (B, U+1, H) for history lengths 0..U (0 = blank start)."""
+        b, u = tokens.shape
+        start = jnp.zeros((b, 1), tokens.dtype)  # blank as BOS
+        inp = jnp.concatenate([start, tokens], axis=1)  # (B, U+1)
+        x = self.embed(inp)
+        x = self.dropout(x, deterministic=deterministic)
+        for rnn in self.rnns:
+            x = rnn(x)
+        return x  # (B, U+1, H)
+
+
+class JointNetwork(nn.Module):
+    """tanh(W_enc h_t + W_dec g_u) -> vocab (`joint_network.py`)."""
+
+    vocab_size: int
+    joint_dim: int = 320
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, enc, dec):
+        """enc (..., D_e), dec (..., D_d) broadcastable -> logits (..., V)."""
+        h = nn.Dense(self.joint_dim, dtype=self.dtype, name="lin_enc")(enc)
+        h = h + nn.Dense(self.joint_dim, dtype=self.dtype, name="lin_dec")(dec)
+        return nn.Dense(self.vocab_size, dtype=self.dtype, name="lin_out")(
+            nn.tanh(h)
+        )
+
+
+class TransducerASRModel(nn.Module):
+    config: TransducerConfig
+
+    def setup(self):
+        c = self.config
+        enc_kw = dict(
+            d_model=c.d_model, num_heads=c.num_heads, d_ff=c.d_ff,
+            num_layers=c.num_encoder_layers, dropout_rate=c.dropout_rate,
+            subsampling_factor=c.subsampling_factor, dtype=c.dtype,
+        )
+        if c.encoder_type == "conformer":
+            self.encoder = ConformerEncoder(
+                kernel_size=c.conformer_kernel_size, **enc_kw
+            )
+        else:
+            self.encoder = TransformerEncoder(**enc_kw)
+        self.decoder = PredictionNetwork(
+            c.vocab_size, c.decoder_embed_dim, c.decoder_hidden,
+            c.decoder_layers, c.dropout_rate, c.dtype,
+        )
+        self.joint = JointNetwork(c.vocab_size, c.joint_dim, c.dtype)
+        if c.ctc_weight > 0:
+            self.ctc_head = nn.Dense(c.vocab_size, dtype=c.dtype)
+
+    def _frontend(self, speech, speech_lengths, deterministic):
+        c = self.config
+        from espnet_tpu.ops.normalize import utterance_mvn
+        from espnet_tpu.ops.specaug import specaug
+        from espnet_tpu.ops.stft import log_mel_spectrogram
+
+        if c.input_type == "raw":
+            feats, lens = log_mel_spectrogram(
+                speech, speech_lengths, c.fs, c.n_fft, c.hop_length,
+                None, c.n_mels,
+            )
+        else:
+            feats, lens = speech, speech_lengths
+        if c.use_specaug and not deterministic:
+            feats = specaug(self.make_rng("specaug"), feats, lens)
+        if c.normalize == "utterance_mvn":
+            feats = utterance_mvn(feats, lens)
+        return feats, lens
+
+    def encode(self, speech, speech_lengths, deterministic: bool = True):
+        feats, lens = self._frontend(speech, speech_lengths, deterministic)
+        return self.encoder(feats, lens, deterministic)
+
+    def __call__(self, speech, speech_lengths, text, text_lengths,
+                 deterministic: bool = True):
+        c = self.config
+        enc, enc_lengths = self.encode(speech, speech_lengths, deterministic)
+        dec = self.decoder(text, deterministic)  # (B, U+1, H)
+        logits = self.joint(enc[:, :, None, :], dec[:, None, :, :])
+        loss_rnnt = transducer_loss(
+            logits, text, enc_lengths, text_lengths, c.blank_id
+        )
+        stats = {"loss_rnnt": loss_rnnt}
+        loss = loss_rnnt
+        if c.ctc_weight > 0:
+            loss_ctc = ctc_loss(self.ctc_head(enc), text, enc_lengths,
+                                text_lengths, c.blank_id)
+            stats["loss_ctc"] = loss_ctc
+            loss = (1 - c.ctc_weight) * loss + c.ctc_weight * loss_ctc
+        stats["loss"] = loss
+        return loss, stats
+
+    def greedy_search(self, enc, enc_lengths, max_tokens: int = 128,
+                      max_symbols_per_frame: int = 3):
+        """Batched greedy transducer decode over encoder output.
+
+        Returns (tokens (B, max_tokens), lengths (B,)).
+        """
+        c = self.config
+        b, t_max, _ = enc.shape
+
+        def cond(s):
+            t, u, *_ = s
+            return jnp.any((t < enc_lengths) & (u < max_tokens))
+
+        def body(s):
+            t, u, sym_count, dec_out, dec_state, out, out_len = s
+            t_safe = jnp.minimum(t, t_max - 1)
+            enc_t = jnp.take_along_axis(
+                enc, t_safe[:, None, None].repeat(enc.shape[2], 2), axis=1
+            )[:, 0]
+            logits = self.joint(enc_t, dec_out)  # (B, V)
+            pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            active = t < enc_lengths
+            is_blank = (pred == c.blank_id) | (sym_count >= max_symbols_per_frame)
+            emit = active & ~is_blank & (u < max_tokens)
+            # write emitted tokens
+            out = jnp.where(
+                (jnp.arange(max_tokens)[None] == u[:, None]) & emit[:, None],
+                pred[:, None], out,
+            )
+            new_u = u + emit.astype(jnp.int32)
+            # advance decoder state for emitters
+            new_dec_out, new_dec_state = self.decoder.step(dec_state, pred)
+            dec_out = jnp.where(emit[:, None], new_dec_out, dec_out)
+            dec_state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(emit[:, None], new, old),
+                new_dec_state, dec_state,
+            )
+            sym_count = jnp.where(emit, sym_count + 1, sym_count)
+            adv = active & (is_blank | (u >= max_tokens))
+            new_t = t + adv.astype(jnp.int32)
+            sym_count = jnp.where(adv, 0, sym_count)
+            return (new_t, new_u, sym_count, dec_out, dec_state, out, new_u)
+
+        dec_state = self.decoder.init_state(b)
+        dec_out, dec_state = self.decoder.step(
+            dec_state, jnp.full((b,), c.blank_id, jnp.int32)
+        )
+        init = (
+            jnp.zeros((b,), jnp.int32), jnp.zeros((b,), jnp.int32),
+            jnp.zeros((b,), jnp.int32), dec_out, dec_state,
+            jnp.zeros((b, max_tokens), jnp.int32), jnp.zeros((b,), jnp.int32),
+        )
+        _, u, _, _, _, out, out_len = jax.lax.while_loop(cond, body, init)
+        return out, u

@@ -35,8 +35,15 @@ def _mask_along_axis(
     widths = jax.random.randint(k1, (b, num_masks), width_range[0], width_range[1])
     if axis == 1 and lengths is not None:
         limit = lengths[:, None]
+        # Adaptive cap (reference MaskAlongAxisVariableMaxWidth,
+        # `espnet2/layers/mask_along_axis.py`): never let the masks jointly
+        # cover a whole short utterance — an all-masked (constant-zero)
+        # feature tensor makes every LayerNorm backward multiply the
+        # cotangent by 1/sqrt(eps) and gradients explode.
+        widths = jnp.minimum(widths, jnp.maximum(limit // (2 * num_masks), 1))
     else:
         limit = size
+        widths = jnp.minimum(widths, max(size // (2 * num_masks), 1))
     starts = (
         jax.random.uniform(k2, (b, num_masks)) * jnp.maximum(limit - widths, 1)
     ).astype(jnp.int32)

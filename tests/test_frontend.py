@@ -70,3 +70,34 @@ def test_istft_roundtrip():
     real, imag = stft_ops.stft(jnp.asarray(x), n_fft, hop)
     y = stft_ops.istft(real, imag, n_fft, hop, length=2048)
     np.testing.assert_allclose(np.asarray(y)[0], x[0], atol=1e-2)
+
+
+def test_specaug_never_wipes_short_utterance():
+    """Adaptive width cap (reference MaskAlongAxisVariableMaxWidth,
+    `espnet2/layers/mask_along_axis.py`): time masks of width up to 100 must
+    not zero out an entire short utterance — an all-zero feature tensor makes
+    LayerNorm backward blow up."""
+    import jax
+
+    from espnet_tpu.ops.specaug import specaug
+
+    b, t, d = 3, 20, 16  # t far below the default max time-mask width (100)
+    x = jnp.ones((b, t, d))
+    lengths = jnp.array([20, 12, 5])
+    for seed in range(20):
+        y = specaug(jax.random.PRNGKey(seed), x, lengths)
+        for i, l in enumerate([20, 12, 5]):
+            assert float(jnp.sum(jnp.abs(y[i, :l]))) > 0.0, (seed, i)
+
+
+def test_specaug_masks_something():
+    import jax
+
+    from espnet_tpu.ops.specaug import specaug
+
+    x = jnp.ones((2, 200, 80))
+    lengths = jnp.array([200, 150])
+    y = specaug(jax.random.PRNGKey(0), x, lengths)
+    assert float(jnp.sum(y == 0.0)) > 0.0
+    # masked entries are exact zeros, everything else untouched
+    assert bool(jnp.all((y == 0.0) | (y == 1.0)))
