@@ -1,0 +1,253 @@
+"""Batched transducer beam search as a fixed-shape `lax.scan` program.
+
+Behavioral spec: reference `espnet2/asr/transducer/beam_search_transducer.py`
+(`beam_search_transducer.py:98-147` selects greedy/default/TSD/ALSD/NSC/mAES)
+and v1 `espnet/nets/pytorch_backend/transducer/beam_search_transducer.py`.
+This is the mAES/"expansion" family (modified adaptive expansion search,
+`beam_search_transducer.py` maes branch): time-synchronous, at most
+`max_expansions` label emissions per encoder frame, beam recombined on the
+blank-terminated pool at every frame.
+
+TPU formulation: the per-frame expansion loop has a *static* trip count and
+every hypothesis set is a fixed (B, W) slab, so one compiled program decodes
+a whole batch of utterances; the joint network runs as (B*W, V) matmuls on
+the MXU each micro-step. The reference decodes one utterance at a time on
+CPU/GPU with dynamic python lists.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG_INF = -1.0e30
+
+
+@dataclasses.dataclass(frozen=True)
+class TransducerSearchConfig:
+    beam_size: int = 5
+    max_expansions: int = 3   # label emissions allowed per frame (mAES n_step)
+    blank_id: int = 0
+    max_tokens: int = 256     # output slab length
+    score_norm: bool = True   # normalize final scores by length (reference
+                              # `beam_search_transducer.py` score_norm arg)
+
+
+class _Beam(NamedTuple):
+    yseq: jnp.ndarray        # (B, W, Lmax) emitted tokens
+    ylen: jnp.ndarray        # (B, W)
+    score: jnp.ndarray       # (B, W) log prob
+    dec_out: jnp.ndarray     # (B, W, H) prediction-net output for the hyp
+    dec_state: Any           # pytree with leaves (B, W, ...)
+
+
+def _select(x, idx):
+    """Gather along beam axis: x (B, W, ...) , idx (B, K) -> (B, K, ...)."""
+    return jax.vmap(lambda xb, ib: xb[ib])(x, idx)
+
+
+def batched_transducer_beam_search(
+    enc: jnp.ndarray,            # (B, T, De) encoder output
+    enc_lengths: jnp.ndarray,    # (B,)
+    *,
+    joint_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    dec_init: Callable[[int], Tuple[jnp.ndarray, Any]],
+    dec_step: Callable[[Any, jnp.ndarray], Tuple[jnp.ndarray, Any]],
+    config: TransducerSearchConfig = TransducerSearchConfig(),
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Beam search over a batch of utterances.
+
+    joint_fn(enc_t (N, De), dec_out (N, H)) -> logits (N, V)
+    dec_init(n) -> (dec_out (N, H), state pytree (N, ...)) for blank BOS
+    dec_step(state, tokens (N,)) -> (dec_out, new state)
+
+    Returns (tokens (B, max_tokens), lengths (B,), scores (B,)).
+    """
+    c = config
+    b, t_max, _ = enc.shape
+    w = c.beam_size
+    lmax = c.max_tokens
+
+    dec_out0, dec_state0 = dec_init(b * w)
+    h = dec_out0.shape[-1]
+    dec_out0 = dec_out0.reshape(b, w, h)
+    dec_state0 = jax.tree_util.tree_map(
+        lambda x: x.reshape(b, w, *x.shape[1:]), dec_state0
+    )
+
+    beam0 = _Beam(
+        yseq=jnp.zeros((b, w, lmax), jnp.int32),
+        ylen=jnp.zeros((b, w), jnp.int32),
+        # only slot 0 is live initially; duplicates would double-count paths
+        score=jnp.tile(
+            jnp.where(jnp.arange(w) == 0, 0.0, NEG_INF)[None, :], (b, 1)
+        ).astype(jnp.float32),
+        dec_out=dec_out0,
+        dec_state=dec_state0,
+    )
+
+    def frame_step(beam: _Beam, inputs):
+        enc_t, t = inputs  # enc_t (B, De)
+        active_t = t < enc_lengths  # (B,)
+
+        # pool of blank-terminated candidates accumulated over expansions
+        pool_score = jnp.full((b, w * (c.max_expansions + 1)), NEG_INF)
+
+        cur = beam
+        stages = []  # stages[e] = beam state whose blank at stage e ends here
+        # static expansion loop (unrolled, max_expansions is small)
+        for e in range(c.max_expansions + 1):
+            stages.append(cur)
+            flat_dec = cur.dec_out.reshape(b * w, h)
+            flat_enc = jnp.repeat(enc_t, w, axis=0)
+            logits = joint_fn(flat_enc, flat_dec).reshape(b, w, -1)
+            lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            v = lp.shape[-1]
+
+            # blank: hypothesis finishes this frame with its current yseq
+            blank_sc = cur.score + lp[..., c.blank_id]
+            pool_score = jax.lax.dynamic_update_slice(
+                pool_score, blank_sc, (0, e * w)
+            )
+            if e == c.max_expansions:
+                # final expansion: everything must take blank
+                break
+
+            # labels: continue expanding within this frame
+            lab_lp = lp.at[..., c.blank_id].set(NEG_INF)
+            cand = cur.score[..., None] + lab_lp  # (B, W, V)
+            # cannot grow past the output slab
+            cand = jnp.where((cur.ylen >= lmax)[..., None], NEG_INF, cand)
+            flat = cand.reshape(b, w * v)
+            top_sc, top_ix = jax.lax.top_k(flat, w)
+            src = (top_ix // v).astype(jnp.int32)
+            tok = (top_ix % v).astype(jnp.int32)
+
+            yseq = _select(cur.yseq, src)
+            ylen = _select(cur.ylen, src)
+            yseq = jnp.where(
+                (jnp.arange(lmax)[None, None, :] == ylen[..., None])
+                & (top_sc > NEG_INF / 2)[..., None],
+                tok[..., None], yseq,
+            )
+            ylen = ylen + (top_sc > NEG_INF / 2).astype(jnp.int32)
+
+            sel_state = jax.tree_util.tree_map(
+                lambda x: _select(x, src), cur.dec_state
+            )
+            flat_state = jax.tree_util.tree_map(
+                lambda x: x.reshape(b * w, *x.shape[2:]), sel_state
+            )
+            new_out, new_state = dec_step(flat_state, tok.reshape(b * w))
+            new_out = new_out.reshape(b, w, h)
+            new_state = jax.tree_util.tree_map(
+                lambda x: x.reshape(b, w, *x.shape[1:]), new_state
+            )
+            cur = _Beam(yseq, ylen, top_sc, new_out, new_state)
+
+        # recombine: top-W blank-terminated candidates become next-frame beam
+        nxt_sc, nxt_ix = jax.lax.top_k(pool_score, w)  # (B, W)
+        exp_idx = nxt_ix // w            # which expansion stage
+        src_idx = (nxt_ix % w).astype(jnp.int32)
+
+        # stack per-expansion beams: (E+1, B, W, ...) then gather (stage, src)
+        stack = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, 0), *stages)
+
+        def gather(x):  # x (E+1, B, W, ...)
+            return jax.vmap(
+                lambda xe, ee, ss: xe[ee, ss],  # xe (E+1, W, ...), per batch
+                in_axes=(1, 0, 0),
+            )(x, exp_idx, src_idx)
+
+        new_beam = _Beam(
+            yseq=gather(stack.yseq),
+            ylen=gather(stack.ylen),
+            score=nxt_sc,
+            dec_out=gather(stack.dec_out),
+            dec_state=jax.tree_util.tree_map(gather, stack.dec_state),
+        )
+        # frames past the utterance end leave the beam untouched
+        keep = active_t[:, None]
+        merged = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(
+                keep.reshape((b, 1) + (1,) * (new.ndim - 2)), new, old
+            ),
+            new_beam, beam,
+        )
+        merged = merged._replace(
+            score=jnp.where(keep, new_beam.score, beam.score)
+        )
+        return merged, None
+
+    final, _ = jax.lax.scan(
+        frame_step, beam0,
+        (enc.transpose(1, 0, 2), jnp.arange(t_max)),
+    )
+
+    score = final.score
+    if c.score_norm:
+        score = score / jnp.maximum(final.ylen, 1)
+    best = jnp.argmax(score, axis=1)  # (B,)
+    bi = jnp.arange(b)
+    return final.yseq[bi, best], final.ylen[bi, best], score[bi, best]
+
+
+# ---------------------------------------------------------------------------
+# numpy reference (per-utterance, dynamic lists) for equivalence tests
+# ---------------------------------------------------------------------------
+
+def transducer_beam_search_numpy(
+    enc: np.ndarray,             # (T, De)
+    *,
+    joint_fn,                    # (De,), (H,) -> (V,) logits (numpy)
+    dec_init,                    # () -> (out (H,), state)
+    dec_step,                    # (state, token) -> (out, state)
+    beam_size: int = 5,
+    max_expansions: int = 3,
+    blank_id: int = 0,
+    score_norm: bool = True,
+):
+    """Reference mAES-style search with python lists, mirroring the batched
+    program step for step (used only in tests)."""
+
+    def log_softmax(x):
+        x = x - x.max()
+        return x - np.log(np.exp(x).sum())
+
+    out0, st0 = dec_init()
+    hyps = [{"yseq": [], "score": 0.0, "out": out0, "state": st0}]
+    t_len = enc.shape[0]
+    for t in range(t_len):
+        pool = []
+        cur = hyps
+        for e in range(max_expansions + 1):
+            scored = []
+            for h in cur:
+                lp = log_softmax(joint_fn(enc[t], h["out"]))
+                pool.append({**h, "score": h["score"] + lp[blank_id]})
+                if e < max_expansions:
+                    for k in range(len(lp)):
+                        if k == blank_id:
+                            continue
+                        scored.append((h, k, h["score"] + lp[k]))
+            if e == max_expansions or not scored:
+                break
+            scored.sort(key=lambda x: -x[2])
+            nxt = []
+            for h, k, sc in scored[:beam_size]:
+                out, st = dec_step(h["state"], k)
+                nxt.append(
+                    {"yseq": h["yseq"] + [k], "score": sc, "out": out,
+                     "state": st}
+                )
+            cur = nxt
+        pool.sort(key=lambda x: -x["score"])
+        hyps = pool[:beam_size]
+    key = (lambda h: h["score"] / max(len(h["yseq"]), 1)) if score_norm else (
+        lambda h: h["score"])
+    best = max(hyps, key=key)
+    return best["yseq"], key(best)

@@ -244,3 +244,34 @@ class TransducerASRModel(nn.Module):
         )
         _, u, _, _, _, out, out_len = jax.lax.while_loop(cond, body, init)
         return out, u
+
+    def beam_search(self, enc, enc_lengths, beam_size: int = 5,
+                    max_expansions: int = 3, max_tokens: int = 256,
+                    score_norm: bool = True):
+        """Batched mAES-style beam search (see decode/transducer_search.py).
+
+        Returns (tokens (B, max_tokens), lengths (B,), scores (B,)).
+        """
+        from espnet_tpu.decode.transducer_search import (
+            TransducerSearchConfig, batched_transducer_beam_search,
+        )
+
+        c = self.config
+
+        def dec_init(n):
+            st = self.decoder.init_state(n)
+            return self.decoder.step(
+                st, jnp.full((n,), c.blank_id, jnp.int32)
+            )
+
+        return batched_transducer_beam_search(
+            enc, enc_lengths,
+            joint_fn=lambda e, d: self.joint(e, d),
+            dec_init=dec_init,
+            dec_step=lambda st, tok: self.decoder.step(st, tok),
+            config=TransducerSearchConfig(
+                beam_size=beam_size, max_expansions=max_expansions,
+                blank_id=c.blank_id, max_tokens=max_tokens,
+                score_norm=score_norm,
+            ),
+        )
