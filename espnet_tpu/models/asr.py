@@ -49,7 +49,11 @@ class ASRConfig:
     time_mask_width: Tuple[int, int] = (0, 40)
     normalize: str = "global_mvn"  # "global_mvn" | "utterance_mvn" | "none"
     # encoder
-    encoder_type: str = "conformer"  # "conformer" | "transformer"
+    encoder_type: str = "conformer"  # conformer | transformer | contextual_block_conformer
+    # streaming (contextual_block_conformer) geometry, in subsampled frames
+    block_size: int = 40
+    stream_hop_size: int = 16
+    look_ahead: int = 16
     d_model: int = 256
     num_heads: int = 4
     d_ff: int = 2048
@@ -141,6 +145,24 @@ class ASRModel(nn.Module):
                 num_layers=c.num_encoder_layers,
                 dropout_rate=c.dropout_rate,
                 subsampling_factor=c.subsampling_factor,
+                dtype=c.dtype,
+            )
+        elif c.encoder_type == "contextual_block_conformer":
+            from espnet_tpu.models.streaming import (
+                ContextualBlockConformerEncoder,
+            )
+
+            self.encoder = ContextualBlockConformerEncoder(
+                d_model=c.d_model,
+                num_heads=c.num_heads,
+                d_ff=c.d_ff,
+                num_layers=c.num_encoder_layers,
+                kernel_size=c.conformer_kernel_size,
+                dropout_rate=c.dropout_rate,
+                subsampling_factor=c.subsampling_factor,
+                block_size=c.block_size,
+                hop_size=c.stream_hop_size,
+                look_ahead=c.look_ahead,
                 dtype=c.dtype,
             )
         else:
