@@ -31,6 +31,9 @@ class ASRDataset:
         tokenizer=None,
         converter=None,
         fs: int = 16000,
+        src_text: Optional[str] = None,
+        src_tokenizer=None,
+        src_converter=None,
     ):
         if (wav_scp is None) == (feats_scp is None):
             raise ValueError("exactly one of wav_scp/feats_scp required")
@@ -40,6 +43,10 @@ class ASRDataset:
         self.tokenizer = tokenizer
         self.converter = converter
         self.fs = fs
+        # ST: auxiliary source-language transcript (`espnet2/st` data layout)
+        self.src_text = read_2column_text(src_text) if src_text else None
+        self.src_tokenizer = src_tokenizer or tokenizer
+        self.src_converter = src_converter or converter
 
     def keys(self) -> List[str]:
         return list(self.speech.keys())
@@ -61,6 +68,11 @@ class ASRDataset:
         if self.text is not None:
             toks = self.tokenizer.text2tokens(self.text[key])
             out["text"] = np.asarray(self.converter.tokens2ids(toks), np.int32)
+        if self.src_text is not None:
+            toks = self.src_tokenizer.text2tokens(self.src_text[key])
+            out["src_text"] = np.asarray(
+                self.src_converter.tokens2ids(toks), np.int32
+            )
         return out
 
     def speech_lengths(self) -> Dict[str, int]:
@@ -87,14 +99,68 @@ class ASRDataset:
         }
 
 
+class EnhDataset:
+    """Mixture + per-speaker reference wavs for enhancement/separation.
+
+    Data-dir layout mirrors the reference enh recipes
+    (`egs2/TEMPLATE/enh1`): wav.scp = mixture, spk1.scp..spkN.scp =
+    reference sources. Emits speech_mix (n,) and speech_ref (n, n_spk)."""
+
+    def __init__(self, data_dir, num_spk: int = 2, fs: int = 16000):
+        from pathlib import Path
+
+        dd = Path(data_dir)
+        self.mix = SoundScpReader(dd / "wav.scp")
+        self.refs = [
+            SoundScpReader(dd / f"spk{i + 1}.scp") for i in range(num_spk)
+        ]
+        self.num_spk = num_spk
+        self.fs = fs
+
+    def keys(self) -> List[str]:
+        return list(self.mix.keys())
+
+    def __len__(self):
+        return len(self.mix)
+
+    def __getitem__(self, key: str) -> Dict[str, np.ndarray]:
+        mix, sr = self.mix[key]
+        if sr != self.fs:
+            raise ValueError(f"{key}: rate {sr} != {self.fs}")
+        out = {"speech_mix": mix.astype(np.float32)}
+        if self.refs:
+            refs = []
+            for r in self.refs:
+                wav, _ = r[key]
+                refs.append(wav.astype(np.float32))
+            n = len(mix)
+            out["speech_ref"] = np.stack([w[:n] for w in refs], axis=1)
+        return out
+
+    def speech_lengths(self) -> Dict[str, int]:
+        out = {}
+        for k in self.mix.keys():
+            import wave as wave_mod
+
+            path = self.mix.data[k]
+            try:
+                with wave_mod.open(path) as w:
+                    out[k] = w.getnframes()
+            except Exception:
+                out[k] = len(self.mix[k][0])
+        return out
+
+
 def collate(
     dataset, batch: Batch, fields=("speech", "text")
 ) -> Dict[str, np.ndarray]:
     """Assemble one padded batch: field -> (B, L_pad[, D]) + field_lengths."""
     items = [dataset[k] for k in batch.keys]
     out: Dict[str, np.ndarray] = {"keys": batch.keys}
-    # token-aligned aux fields pad to the text shape
-    aliases = {"durations": "text", "pitch": "text", "energy": "text"}
+    # token-aligned aux fields pad to the text shape; enhancement refs pad
+    # to the mixture shape
+    aliases = {"durations": "text", "pitch": "text", "energy": "text",
+               "speech_ref": "speech_mix", "noise_ref": "speech_mix"}
     for f in fields:
         if f not in items[0]:
             continue

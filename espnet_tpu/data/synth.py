@@ -62,3 +62,42 @@ def generate_corpus(
             w["text"][uid] = text
             texts[uid] = text
     return out, texts
+
+
+def generate_mixture_corpus(
+    out_dir, n_utts: int = 30, num_spk: int = 2, fs: int = 16000,
+    min_words: int = 2, max_words: int = 4, seed: int = 0,
+):
+    """Two-speaker synthetic mixtures: wav.scp (mix) + spk<i>.scp (refs).
+
+    Data-dir layout of the reference enh recipes (egs2/TEMPLATE/enh1)."""
+    out = Path(out_dir)
+    (out / "wav").mkdir(parents=True, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    with DatadirWriter(out) as w:
+        for i in range(n_utts):
+            uid = f"utt{i:04d}"
+            nw = rng.randint(min_words, max_words + 1)
+            srcs = []
+            for s in range(num_spk):
+                word_ids = rng.randint(0, len(WORDS), nw)
+                wav = synth_utterance(
+                    list(word_ids), fs, word_dur=0.30 + 0.12 * s, rng=rng
+                )
+                srcs.append(wav)
+            n = max(len(x) for x in srcs)
+            srcs = [np.pad(x, (0, n - len(x))) for x in srcs]
+            gains = 10 ** (rng.uniform(-2.5, 2.5, num_spk) / 20.0)
+            srcs = [g * x for g, x in zip(gains, srcs)]
+            mix = np.sum(srcs, axis=0) + 0.005 * rng.randn(n).astype(np.float32)
+            peak = max(1e-6, np.max(np.abs(mix)))
+            scale = min(1.0, 0.95 / peak)
+            mix = (mix * scale).astype(np.float32)
+            mpath = out / "wav" / f"{uid}_mix.wav"
+            write_wav(mpath, mix, fs)
+            w["wav.scp"][uid] = str(mpath)
+            for s in range(num_spk):
+                spath = out / "wav" / f"{uid}_s{s + 1}.wav"
+                write_wav(spath, (srcs[s] * scale).astype(np.float32), fs)
+                w[f"spk{s + 1}.scp"][uid] = str(spath)
+    return out

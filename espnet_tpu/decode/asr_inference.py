@@ -76,13 +76,13 @@ class Speech2Text:
     def _decode_batch(self, speech, speech_lengths):
         model, variables = self.model, self.variables
         enc, enc_lens = model.apply(
-            variables, speech, speech_lengths, method=ASRModel.encode
+            variables, speech, speech_lengths, method=type(model).encode
         )
         b = enc.shape[0]
         w = self.cfg.beam_size
         use_ctc = self.cfg.ctc_weight > 0
         ctc_lp = (
-            model.apply(variables, enc, method=ASRModel.ctc_log_probs)
+            model.apply(variables, enc, method=type(model).ctc_log_probs)
             if use_ctc else None
         )
         # tile encoder memory across beams: (B*W, T, D)
@@ -90,13 +90,13 @@ class Speech2Text:
         mem_lens = jnp.repeat(enc_lens, w, axis=0)
         att_cache = model.apply(
             variables, b * w, self.max_steps + 1,
-            method=ASRModel.decoder_init_cache,
+            method=type(model).decoder_init_cache,
         )
 
         def att_score_fn(tokens, pos, cache):
             return model.apply(
                 variables, tokens, pos, mem, mem_lens, cache,
-                method=ASRModel.decoder_score_step,
+                method=type(model).decoder_score_step,
             )
 
         lm_score_fn = None

@@ -1,0 +1,138 @@
+"""End-to-end speech enhancement/separation model.
+
+Behavioral spec: reference `espnet2/enh/espnet_model.py:24`
+(ESPnetEnhancementModel: `forward:69` = forward_enhance (`:178`, encoder ->
+separator -> decoder) + forward_loss (`:213`, PIT-wrapped criterion over
+speaker references); forward returns (loss, stats, weight)).
+
+The TPU build fixes the common configuration: time-domain learned
+filterbank (ConvEncoder/ConvDecoder) or STFT, one separator choice, PIT
+SI-SNR (negative) as the training criterion — everything one jittable
+function of statically-shaped arrays.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from espnet_tpu.models.enh.layers import (
+    ConvDecoder, ConvEncoder, STFTDecoder, STFTEncoder,
+)
+from espnet_tpu.models.enh.separators import (
+    DPRNNSeparator, TCNSeparator, TransformerSeparator,
+)
+from espnet_tpu.ops.enh_losses import pit_solve, si_snr_loss, snr_loss
+
+
+@dataclasses.dataclass(frozen=True)
+class EnhConfig:
+    num_spk: int = 2
+    encoder_type: str = "conv"       # conv | stft
+    # conv filterbank
+    enc_channels: int = 256
+    enc_kernel: int = 20
+    enc_stride: int = 10
+    # stft
+    n_fft: int = 512
+    hop_length: int = 128
+    # separator
+    separator_type: str = "tcn"      # tcn | dprnn | transformer
+    tcn_layers: int = 8
+    tcn_stacks: int = 3
+    tcn_bottleneck: int = 128
+    tcn_hidden: int = 512
+    tcn_kernel: int = 3
+    dprnn_blocks: int = 6
+    dprnn_hidden: int = 128
+    dprnn_chunk: int = 100
+    trans_d_model: int = 256
+    trans_heads: int = 4
+    trans_d_ff: int = 1024
+    trans_layers: int = 4
+    nonlinear: str = "relu"
+    # loss
+    loss_type: str = "si_snr"        # si_snr | snr
+    dropout_rate: float = 0.1
+    dtype: Any = jnp.float32
+
+
+class EnhancementModel(nn.Module):
+    config: EnhConfig
+
+    def setup(self):
+        c = self.config
+        if c.encoder_type == "conv":
+            self.encoder = ConvEncoder(
+                c.enc_channels, c.enc_kernel, c.enc_stride, c.dtype,
+                name="encoder",
+            )
+            self.decoder = ConvDecoder(
+                c.enc_channels, c.enc_kernel, c.enc_stride, c.dtype,
+                name="decoder",
+            )
+            feat_dim = c.enc_channels
+        elif c.encoder_type == "stft":
+            self.encoder = STFTEncoder(c.n_fft, c.hop_length, c.dtype,
+                                       name="encoder")
+            self.decoder = STFTDecoder(c.n_fft, c.hop_length, c.dtype,
+                                       name="decoder")
+            feat_dim = self.encoder.output_dim
+        else:
+            raise ValueError(f"unknown encoder_type {c.encoder_type}")
+        if c.separator_type == "tcn":
+            self.separator = TCNSeparator(
+                feat_dim, c.num_spk, c.tcn_layers, c.tcn_stacks,
+                c.tcn_bottleneck, c.tcn_hidden, c.tcn_kernel,
+                nonlinear=c.nonlinear, dtype=c.dtype, name="separator",
+            )
+        elif c.separator_type == "dprnn":
+            self.separator = DPRNNSeparator(
+                feat_dim, c.num_spk, c.dprnn_blocks, c.dprnn_hidden,
+                c.dprnn_chunk, c.nonlinear, c.dtype, name="separator",
+            )
+        elif c.separator_type == "transformer":
+            self.separator = TransformerSeparator(
+                feat_dim, c.num_spk, c.trans_d_model, c.trans_heads,
+                c.trans_d_ff, c.trans_layers, c.dropout_rate, c.nonlinear,
+                c.dtype, name="separator",
+            )
+        else:
+            raise ValueError(f"unknown separator_type {c.separator_type}")
+
+    def forward_enhance(self, speech_mix, speech_lengths,
+                        deterministic: bool = True):
+        """Mixture -> per-speaker waveforms (B, n_spk, n)
+        (`espnet_model.py:178`)."""
+        n = speech_mix.shape[1]
+        feat, flens = self.encoder(speech_mix, speech_lengths)
+        masked, _, others = self.separator(feat, flens, deterministic)
+        b, c_spk = masked.shape[0], masked.shape[1]
+        flat = masked.reshape(b * c_spk, *masked.shape[2:])
+        wavs = self.decoder(flat, n)
+        return wavs.reshape(b, c_spk, n), others
+
+    def __call__(self, speech_mix, speech_mix_lengths, speech_ref,
+                 deterministic: bool = True):
+        """speech_ref: (B, n, n_spk) (collate layout — sample axis padded)
+        or (B, n_spk, n). Returns (loss, stats)
+        (`espnet_model.py:69` + PITSolver)."""
+        c = self.config
+        if speech_ref.shape[-1] == c.num_spk:
+            speech_refs = speech_ref.transpose(0, 2, 1)
+        else:
+            speech_refs = speech_ref
+        est, _ = self.forward_enhance(
+            speech_mix, speech_mix_lengths, deterministic
+        )
+        crit = si_snr_loss if c.loss_type == "si_snr" else snr_loss
+        loss_fn = lambda r, e: crit(r, e, speech_mix_lengths)
+        best, perm = pit_solve(loss_fn, speech_refs, est)
+        loss = jnp.mean(best)
+        stats = {"loss": loss}
+        if c.loss_type == "si_snr":
+            stats["si_snr"] = -loss
+        return loss, stats
