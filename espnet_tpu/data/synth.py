@@ -101,3 +101,41 @@ def generate_mixture_corpus(
                 write_wav(spath, (srcs[s] * scale).astype(np.float32), fs)
                 w[f"spk{s + 1}.scp"][uid] = str(spath)
     return out
+
+
+def generate_st_corpus(
+    out_dir, n_utts: int = 30, min_words: int = 2, max_words: int = 4,
+    fs: int = 16000, seed: int = 0,
+):
+    """ST toy corpus: wav.scp + src_text (spoken words) + text (the
+    "translation": reversed word order — deterministic, learnable)."""
+    out, texts = generate_corpus(out_dir, n_utts, min_words, max_words, fs, seed)
+    src = {k: v for k, v in texts.items()}
+    tgt = {k: " ".join(reversed(v.split())) for k, v in texts.items()}
+    from espnet_tpu.data.fileio import write_2column_text
+
+    write_2column_text(Path(out_dir) / "src_text", src)
+    write_2column_text(Path(out_dir) / "text", tgt)
+    return out
+
+
+def generate_mt_corpus(
+    out_dir, n_utts: int = 200, min_words: int = 2, max_words: int = 6,
+    seed: int = 0,
+):
+    """MT toy corpus: src_text + text (reversed word order)."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    src, tgt = {}, {}
+    for i in range(n_utts):
+        uid = f"utt{i:04d}"
+        nw = rng.randint(min_words, max_words + 1)
+        words = [WORDS[j] for j in rng.randint(0, len(WORDS), nw)]
+        src[uid] = " ".join(words)
+        tgt[uid] = " ".join(reversed(words))
+    from espnet_tpu.data.fileio import write_2column_text
+
+    write_2column_text(out / "src_text", src)
+    write_2column_text(out / "text", tgt)
+    return out
