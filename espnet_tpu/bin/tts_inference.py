@@ -27,6 +27,10 @@ def get_parser():
     p.add_argument("--max_frames", type=int, default=1024)
     p.add_argument("--griffin_lim_iters", type=int, default=32)
     p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--vocoder_dir", default=None,
+                   help="HiFiGAN vocoder exp dir (bin/vocoder_train.py); "
+                        "falls back to Griffin-Lim when unset (reference "
+                        "`tts_inference.py:280-291` vocoder-or-GL choice)")
     return p
 
 
@@ -104,6 +108,24 @@ def main(argv=None):
             method=TTSModel.inference, rngs={"dropout": jax.random.PRNGKey(2)},
         )
 
+    vocode = None
+    if args.vocoder_dir:
+        from espnet_tpu.tasks.vocoder import VocoderTask
+
+        vdir = Path(args.vocoder_dir)
+        vcfg = VocoderTask.load_config(vdir)
+        gen, _ = VocoderTask.build_models(vcfg["model"], vcfg["data"].n_mels)
+        mel_frames = 16
+        g_target = nn.meta.unbox(gen.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, mel_frames, vcfg["data"].n_mels)),
+        ))["params"]
+        g_params = load_pytree(vdir / "generator.msgpack", g_target)
+        vocode = jax.jit(
+            lambda mel: gen.apply({"params": g_params}, mel)[..., 0]
+        )
+        logger.info("using HiFiGAN vocoder from %s", vdir)
+
     keys = list(texts)
     for i in range(0, len(keys), args.batch_size):
         chunk = keys[i : i + args.batch_size]
@@ -119,10 +141,13 @@ def main(argv=None):
         mel = np.asarray(mel)
         if mean is not None:
             mel = mel / np.maximum(inv_std, 1e-8) + mean  # denormalize
-        wav = np.asarray(logmel_to_wav(
-            jnp.asarray(mel), mc.fs, mc.n_fft, mc.hop_length, mc.win_length,
-            mc.n_mels, args.griffin_lim_iters,
-        ))
+        if vocode is not None:
+            wav = np.asarray(vocode(jnp.asarray(mel)))
+        else:
+            wav = np.asarray(logmel_to_wav(
+                jnp.asarray(mel), mc.fs, mc.n_fft, mc.hop_length,
+                mc.win_length, mc.n_mels, args.griffin_lim_iters,
+            ))
         for j, k in enumerate(chunk):
             n = int(mel_lens[j]) * mc.hop_length
             write_wav(out / "wav" / f"{k}.wav", wav[j, :n], mc.fs)

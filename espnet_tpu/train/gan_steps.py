@@ -1,0 +1,133 @@
+"""GAN (generator/discriminator) training step for vocoder training.
+
+Behavioral spec: reference `espnet2/train/gan_trainer.py:52` (GANTrainer:
+alternating generator/discriminator updates routed by `optim_idx`; each
+substep is forward -> backward -> clip -> step) specialised to the HiFiGAN
+criterion set (`espnet2/gan_tts/hifigan/loss.py`): discriminator
+least-squares real/fake loss; generator = adversarial + lambda_fm * feature
+matching + lambda_mel * mel-spectrogram L1.
+
+TPU formulation: both substeps fuse into ONE jitted function per shape
+bucket — D update then G update (fresh discriminator outputs on the same
+fake audio), all under `value_and_grad` with static loss weights.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from espnet_tpu.models.tts.hifigan import (
+    discriminator_adversarial_loss, feature_match_loss,
+    generator_adversarial_loss, mel_spectrogram_loss,
+)
+
+
+class GANTrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    gen_params: Any
+    gen_opt: Any
+    disc_params: Any
+    disc_opt: Any
+
+    @classmethod
+    def create(cls, gen_params, gen_tx, disc_params, disc_tx):
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            gen_params=gen_params,
+            gen_opt=gen_tx.init(gen_params),
+            disc_params=disc_params,
+            disc_opt=disc_tx.init(disc_params),
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class GANLossWeights:
+    adv: float = 1.0
+    feat_match: float = 2.0
+    mel: float = 45.0
+    fs: int = 16000
+    n_fft: int = 1024
+    hop_length: int = 256
+    n_mels: int = 80
+
+
+def make_gan_train_step(
+    generator,
+    discriminator,
+    gen_tx: optax.GradientTransformation,
+    disc_tx: optax.GradientTransformation,
+    weights: GANLossWeights = GANLossWeights(),
+) -> Callable:
+    """Returns step(state, mel (B,T,M), wav (B,N)) -> (state, stats)."""
+
+    w = weights
+
+    def step(state: GANTrainState, mel, wav):
+        real = wav[:, :, None]
+
+        def gen_wav(gp):
+            fake = generator.apply({"params": gp}, mel)  # (B, N', 1)
+            n = real.shape[1]
+            t = fake.shape[1]
+            if t >= n:
+                return fake[:, :n]
+            return jnp.pad(fake, ((0, 0), (0, n - t), (0, 0)))
+
+        # ---- discriminator update ----
+        fake_sg = jax.lax.stop_gradient(gen_wav(state.gen_params))
+
+        def disc_loss_fn(dp):
+            real_outs = discriminator.apply({"params": dp}, real)
+            fake_outs = discriminator.apply({"params": dp}, fake_sg)
+            lr, lf = discriminator_adversarial_loss(real_outs, fake_outs)
+            return lr + lf, (lr, lf)
+
+        (d_loss, (d_real, d_fake)), d_grads = jax.value_and_grad(
+            disc_loss_fn, has_aux=True
+        )(state.disc_params)
+        d_updates, disc_opt = disc_tx.update(
+            d_grads, state.disc_opt, state.disc_params
+        )
+        disc_params = optax.apply_updates(state.disc_params, d_updates)
+
+        # ---- generator update (against the UPDATED discriminator) ----
+        def gen_loss_fn(gp):
+            fake = gen_wav(gp)
+            fake_outs = discriminator.apply({"params": disc_params}, fake)
+            real_outs = discriminator.apply({"params": disc_params}, real)
+            adv = generator_adversarial_loss(fake_outs)
+            fm = feature_match_loss(real_outs, fake_outs)
+            mel_l1 = mel_spectrogram_loss(
+                wav, fake[..., 0], w.fs, w.n_fft, w.hop_length, w.n_mels
+            )
+            loss = w.adv * adv + w.feat_match * fm + w.mel * mel_l1
+            return loss, (adv, fm, mel_l1)
+
+        (g_loss, (adv, fm, mel_l1)), g_grads = jax.value_and_grad(
+            gen_loss_fn, has_aux=True
+        )(state.gen_params)
+        g_updates, gen_opt = gen_tx.update(
+            g_grads, state.gen_opt, state.gen_params
+        )
+        gen_params = optax.apply_updates(state.gen_params, g_updates)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            gen_params=gen_params, gen_opt=gen_opt,
+            disc_params=disc_params, disc_opt=disc_opt,
+        )
+        stats = {
+            "loss": g_loss, "generator_adv_loss": adv,
+            "feat_match_loss": fm, "mel_loss": mel_l1,
+            "discriminator_loss": d_loss, "disc_real_loss": d_real,
+            "disc_fake_loss": d_fake,
+        }
+        return new_state, stats
+
+    return step

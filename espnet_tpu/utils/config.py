@@ -52,8 +52,18 @@ def _coerce(value: str, typ) -> Any:
     if isinstance(value, str) and value.lower() in ("none", "null"):
         return None
     if "Tuple" in name or "tuple" in name:
-        if isinstance(value, str) and "," in value:
-            return tuple(int(x) for x in value.split(","))
+        if isinstance(value, str) and ("," in value or value.startswith("[")):
+            items = value.strip().strip("[]()").split(",")
+            out = []
+            for x in items:
+                x = x.strip()
+                if not x:
+                    continue
+                try:
+                    out.append(int(x))
+                except ValueError:
+                    out.append(float(x))
+            return tuple(out)
     return value
 
 
