@@ -160,7 +160,8 @@ def collate(
     # token-aligned aux fields pad to the text shape; enhancement refs pad
     # to the mixture shape
     aliases = {"durations": "text", "pitch": "text", "energy": "text",
-               "speech_ref": "speech_mix", "noise_ref": "speech_mix"}
+               "speech_ref": "speech_mix", "noise_ref": "speech_mix",
+               "spk_labels": "speech"}
     for f in fields:
         if f not in items[0]:
             continue

@@ -142,3 +142,27 @@ class DatadirWriter:
 
     def __exit__(self, *exc):
         self.close()
+
+
+def read_rttm(path) -> Dict[str, List[Tuple[str, float, float]]]:
+    """RTTM -> {utt: [(spk, tbeg, tdur), ...]} (reference
+    `espnet2/fileio/rttm.py` SPEAKER line format)."""
+    out: Dict[str, List[Tuple[str, float, float]]] = {}
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            parts = line.split()
+            if not parts or parts[0] != "SPEAKER":
+                continue
+            utt, tbeg, tdur, spk = parts[1], float(parts[3]), float(parts[4]), parts[7]
+            out.setdefault(utt, []).append((spk, tbeg, tdur))
+    return out
+
+
+def write_rttm(path, segments: Dict[str, List[Tuple[str, float, float]]]) -> None:
+    with open(path, "w", encoding="utf-8") as f:
+        for utt, segs in segments.items():
+            for spk, tbeg, tdur in segs:
+                f.write(
+                    f"SPEAKER {utt} 1 {tbeg:.3f} {tdur:.3f} "
+                    f"<NA> <NA> {spk} <NA>\n"
+                )

@@ -139,3 +139,42 @@ def generate_mt_corpus(
     write_2column_text(out / "src_text", src)
     write_2column_text(out / "text", tgt)
     return out
+
+
+def generate_diar_corpus(
+    out_dir, n_utts: int = 20, num_spk: int = 2, fs: int = 16000,
+    dur: float = 3.0, seed: int = 0,
+):
+    """Diarization toy corpus: mixtures with alternating speaker activity,
+    labels in RTTM (reference `espnet2/fileio/rttm.py` format)."""
+    out = Path(out_dir)
+    (out / "wav").mkdir(parents=True, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    n = int(dur * fs)
+    t = np.arange(n) / fs
+    rttm_lines = []
+    with DatadirWriter(out) as w:
+        for i in range(n_utts):
+            uid = f"utt{i:04d}"
+            mix = 0.01 * rng.randn(n).astype(np.float32)
+            for s in range(num_spk):
+                f0 = 220.0 * (s + 1) + 40.0 * rng.rand()
+                src = 0.4 * np.sin(2 * np.pi * f0 * t).astype(np.float32)
+                # 1-3 active segments per speaker
+                n_seg = rng.randint(1, 4)
+                for _ in range(n_seg):
+                    beg = rng.uniform(0, dur - 0.5)
+                    seg_dur = rng.uniform(0.4, min(1.5, dur - beg))
+                    b, e = int(beg * fs), int((beg + seg_dur) * fs)
+                    mix[b:e] += src[b:e]
+                    rttm_lines.append(
+                        f"SPEAKER {uid} 1 {beg:.3f} {seg_dur:.3f} "
+                        f"<NA> <NA> spk{s + 1} <NA>"
+                    )
+            peak = max(1e-6, np.max(np.abs(mix)))
+            mix = mix * min(1.0, 0.95 / peak)
+            path = out / "wav" / f"{uid}.wav"
+            write_wav(path, mix, fs)
+            w["wav.scp"][uid] = str(path)
+    (out / "rttm").write_text("\n".join(rttm_lines) + "\n")
+    return out
