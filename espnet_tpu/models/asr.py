@@ -49,7 +49,9 @@ class ASRConfig:
     time_mask_width: Tuple[int, int] = (0, 40)
     normalize: str = "global_mvn"  # "global_mvn" | "utterance_mvn" | "none"
     # encoder
-    encoder_type: str = "conformer"  # conformer | transformer | contextual_block_conformer
+    # conformer | transformer | branchformer | e_branchformer |
+    # contextual_block_conformer
+    encoder_type: str = "conformer"
     # streaming (contextual_block_conformer) geometry, in subsampled frames
     block_size: int = 40
     stream_hop_size: int = 16
@@ -145,6 +147,21 @@ class ASRModel(nn.Module):
                 num_layers=c.num_encoder_layers,
                 dropout_rate=c.dropout_rate,
                 subsampling_factor=c.subsampling_factor,
+                dtype=c.dtype,
+            )
+        elif c.encoder_type in ("branchformer", "e_branchformer"):
+            from espnet_tpu.models.branchformer import BranchformerEncoder
+
+            self.encoder = BranchformerEncoder(
+                d_model=c.d_model,
+                num_heads=c.num_heads,
+                d_ff=c.d_ff,
+                num_layers=c.num_encoder_layers,
+                cgmlp_hidden=c.d_ff,
+                cgmlp_kernel=c.conformer_kernel_size,
+                dropout_rate=c.dropout_rate,
+                subsampling_factor=c.subsampling_factor,
+                variant=c.encoder_type,
                 dtype=c.dtype,
             )
         elif c.encoder_type == "contextual_block_conformer":
