@@ -89,7 +89,7 @@ class Speech2Text:
         mem = jnp.repeat(enc, w, axis=0)
         mem_lens = jnp.repeat(enc_lens, w, axis=0)
         att_cache = model.apply(
-            variables, b * w, self.max_steps + 1,
+            variables, b * w, self.max_steps + 1, mem, mem_lens,
             method=type(model).decoder_init_cache,
         )
 

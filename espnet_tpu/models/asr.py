@@ -63,6 +63,7 @@ class ASRConfig:
     subsampling_factor: int = 4
     conformer_kernel_size: int = 31
     # decoder
+    decoder_type: str = "transformer"  # "transformer" | "rnn" (v1 AttLoc LSTM)
     num_decoder_layers: int = 6
     decoder_d_ff: int = 2048
     # loss
@@ -164,6 +165,16 @@ class ASRModel(nn.Module):
                 variant=c.encoder_type,
                 dtype=c.dtype,
             )
+        elif c.encoder_type == "vgg_blstm":
+            from espnet_tpu.models.rnn import VGGRNNEncoder
+
+            self.encoder = VGGRNNEncoder(
+                d_model=c.d_model,
+                hidden=c.d_model,
+                num_layers=c.num_encoder_layers,
+                dropout_rate=c.dropout_rate,
+                dtype=c.dtype,
+            )
         elif c.encoder_type == "contextual_block_conformer":
             from espnet_tpu.models.streaming import (
                 ContextualBlockConformerEncoder,
@@ -185,15 +196,28 @@ class ASRModel(nn.Module):
         else:
             raise ValueError(f"unknown encoder_type {c.encoder_type}")
         if c.ctc_weight < 1.0:
-            self.decoder = TransformerDecoder(
-                vocab_size=c.vocab_size,
-                d_model=c.d_model,
-                num_heads=c.num_heads,
-                d_ff=c.decoder_d_ff,
-                num_layers=c.num_decoder_layers,
-                dropout_rate=c.dropout_rate,
-                dtype=c.dtype,
-            )
+            if c.decoder_type == "rnn":
+                from espnet_tpu.models.rnn import RNNDecoder
+
+                self.decoder = RNNDecoder(
+                    vocab_size=c.vocab_size,
+                    encoder_dim=c.d_model,
+                    embed_dim=c.d_model,
+                    hidden=c.d_model,
+                    num_layers=c.num_decoder_layers,
+                    dropout_rate=c.dropout_rate,
+                    dtype=c.dtype,
+                )
+            else:
+                self.decoder = TransformerDecoder(
+                    vocab_size=c.vocab_size,
+                    d_model=c.d_model,
+                    num_heads=c.num_heads,
+                    d_ff=c.decoder_d_ff,
+                    num_layers=c.num_decoder_layers,
+                    dropout_rate=c.dropout_rate,
+                    dtype=c.dtype,
+                )
         if c.ctc_weight > 0.0:
             self.ctc_head = nn.Dense(
                 c.vocab_size,
@@ -243,7 +267,12 @@ class ASRModel(nn.Module):
     def decoder_score_step(self, tokens_step, pos, memory, memory_lengths, cache):
         return self.decoder.score_step(tokens_step, pos, memory, memory_lengths, cache)
 
-    def decoder_init_cache(self, batch, max_len):
+    def decoder_init_cache(self, batch, max_len, memory=None,
+                           memory_lengths=None):
+        if self.config.decoder_type == "rnn":
+            return self.decoder.score_memory_cache(
+                batch, memory, memory_lengths
+            )
         return self.decoder.init_cache(batch, max_len)
 
     def __call__(

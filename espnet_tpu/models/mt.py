@@ -96,7 +96,8 @@ class MTModel(nn.Module):
         return self.decoder.score_step(tokens_step, pos, memory,
                                        memory_lengths, cache)
 
-    def decoder_init_cache(self, batch, max_len):
+    def decoder_init_cache(self, batch, max_len, memory=None,
+                           memory_lengths=None):
         return self.decoder.init_cache(batch, max_len)
 
     def __call__(self, src_text, src_text_lengths, text, text_lengths,

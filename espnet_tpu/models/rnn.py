@@ -1,0 +1,207 @@
+"""RNN (v1) stack: VGG-BLSTM encoder + location-aware attention LSTM decoder.
+
+Behavioral spec: reference `espnet/nets/pytorch_backend/rnn/encoders.py`
+(VGG2L `:24`: two 3x3-conv/maxpool blocks collapsing freq; RNNP `:90`:
+stacked (B)LSTM with per-layer linear projection),
+`rnn/attentions.py` (AttLoc `:334`: location-aware attention — 1-D conv
+over the previous alignment feeds the score MLP, softmax scaled by 2.0) and
+`rnn/decoders.py` (Decoder `:44`: LSTM stack fed [embed, context], output
+projection over [top hidden, context]).
+
+The decoder exposes the same `decoder_init_cache`/`decoder_score_step`
+interface as the transformer decoder, so the batched label-synchronous
+beam search (`decode/beam_search.py`) drives either decoder unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from espnet_tpu.ops.masks import make_valid_mask
+
+
+class VGG2L(nn.Module):
+    """Two conv/pool blocks (64, 128 channels), freq collapsed
+    (`encoders.py:24`)."""
+
+    out_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, lengths):
+        x = feats[..., None]  # (B, T, F, 1)
+        for i, ch in enumerate((64, 128)):
+            x = nn.relu(nn.Conv(ch, (3, 3), padding="SAME", dtype=self.dtype,
+                                name=f"conv{i}_1")(x))
+            x = nn.relu(nn.Conv(ch, (3, 3), padding="SAME", dtype=self.dtype,
+                                name=f"conv{i}_2")(x))
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        b, t, f, c = x.shape
+        x = x.reshape(b, t, f * c)
+        x = nn.Dense(self.out_dim, dtype=self.dtype, name="out")(x)
+        return x, lengths // 4
+
+
+class VGGRNNEncoder(nn.Module):
+    """VGG2L + stacked BLSTM with projection (`encoders.py` VGG2L+RNNP)."""
+
+    d_model: int = 256       # eprojs (projection dim)
+    hidden: int = 256        # eunits per direction
+    num_layers: int = 3      # elayers
+    bidirectional: bool = True
+    dropout_rate: float = 0.1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, lengths, deterministic: bool = True):
+        x, olens = VGG2L(self.d_model, self.dtype, name="vgg")(feats, lengths)
+        for i in range(self.num_layers):
+            fwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden),
+                         name=f"lstm{i}_fwd")(x)
+            if self.bidirectional:
+                bwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden), reverse=True,
+                             keep_order=True, name=f"lstm{i}_bwd")(x)
+                h = jnp.concatenate([fwd, bwd], axis=-1)
+            else:
+                h = fwd
+            x = jnp.tanh(
+                nn.Dense(self.d_model, dtype=self.dtype, name=f"proj{i}")(h)
+            )
+            x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+        mask = make_valid_mask(olens, x.shape[1])[:, :, None]
+        return x * mask.astype(x.dtype), olens
+
+
+class LocationAwareAttention(nn.Module):
+    """AttLoc (`attentions.py:334`)."""
+
+    att_dim: int = 320
+    conv_channels: int = 10
+    conv_kernel: int = 100
+    scaling: float = 2.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, enc, enc_mask, dec_state, prev_w):
+        """enc (N, T, D); dec_state (N, Dz); prev_w (N, T) -> (context, w)."""
+        f = nn.Conv(self.conv_channels, (2 * (self.conv_kernel // 2) + 1,),
+                    padding="SAME", use_bias=False, dtype=self.dtype,
+                    name="loc_conv")(prev_w[:, :, None])
+        e = nn.tanh(
+            nn.Dense(self.att_dim, dtype=self.dtype, name="mlp_enc")(enc)
+            + nn.Dense(self.att_dim, use_bias=False, dtype=self.dtype,
+                       name="mlp_dec")(dec_state)[:, None]
+            + nn.Dense(self.att_dim, use_bias=False, dtype=self.dtype,
+                       name="mlp_att")(f)
+        )
+        e = nn.Dense(1, use_bias=False, dtype=self.dtype, name="gvec")(e)[..., 0]
+        e = jnp.where(enc_mask, e, -1e30)
+        w = jax.nn.softmax(self.scaling * e, axis=-1)
+        context = jnp.einsum("nt,ntd->nd", w, enc)
+        return context, w
+
+
+class RNNDecoder(nn.Module):
+    """LSTM attention decoder (`decoders.py:44`)."""
+
+    vocab_size: int
+    encoder_dim: int = 256
+    embed_dim: int = 256
+    hidden: int = 256        # dunits
+    num_layers: int = 1      # dlayers
+    att_dim: int = 320
+    att_conv_channels: int = 10
+    att_conv_kernel: int = 100
+    dropout_rate: float = 0.1
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.embed = nn.Embed(self.vocab_size, self.embed_dim,
+                              dtype=self.dtype)
+        self.cells = [
+            nn.OptimizedLSTMCell(self.hidden, dtype=self.dtype,
+                                 name=f"lstm{i}")
+            for i in range(self.num_layers)
+        ]
+        self.att = LocationAwareAttention(
+            self.att_dim, self.att_conv_channels, self.att_conv_kernel,
+            dtype=self.dtype, name="att",
+        )
+        self.output = nn.Dense(self.vocab_size, dtype=self.dtype,
+                               name="output")
+        self.dropout = nn.Dropout(self.dropout_rate)
+
+    def _step(self, token, state, enc, enc_mask, deterministic):
+        """One decode step. state = dict(h list, c list, w)."""
+        ey = self.embed(token)                        # (N, E)
+        context, w = self.att(enc, enc_mask, state["h"][0], state["w"])
+        x = jnp.concatenate([ey, context], axis=-1)
+        hs, cs = [], []
+        for li, cell in enumerate(self.cells):
+            (c_new, h_new), x = cell((state["c"][li], state["h"][li]), x)
+            hs.append(h_new)
+            cs.append(c_new)
+        x = self.dropout(x, deterministic=deterministic)
+        logits = self.output(jnp.concatenate([x, context], axis=-1))
+        return logits, {"h": hs, "c": cs, "w": w}
+
+    def init_state(self, batch: int, t_max: int):
+        z = jnp.zeros((batch, self.hidden), self.dtype)
+        # uniform initial alignment
+        w = jnp.full((batch, t_max), 1.0 / t_max, self.dtype)
+        return {"h": [z] * self.num_layers, "c": [z] * self.num_layers,
+                "w": w}
+
+    def __call__(self, tokens, token_lengths, memory, memory_lengths,
+                 deterministic: bool = True):
+        """Teacher-forced full forward: tokens (B, U) -> logits (B, U, V)."""
+        b, u = tokens.shape
+        enc_mask = make_valid_mask(memory_lengths, memory.shape[1])
+        state = self.init_state(b, memory.shape[1])
+
+        # flax-native scan over target positions with shared params
+        def body(mdl, carry, tok_t):
+            logits, new_state = mdl._step(
+                tok_t, carry, memory, enc_mask, deterministic
+            )
+            return new_state, logits
+
+        scan = nn.scan(
+            body, variable_broadcast="params",
+            split_rngs={"params": False, "dropout": True},
+            in_axes=1, out_axes=1,
+        )
+        _, logits = scan(self, state, tokens)
+        return logits
+
+    # --- beam-search interface (matches TransformerDecoder) ---------------
+    def score_memory_cache(self, batch: int, memory, memory_lengths):
+        state = self.init_state(batch, memory.shape[1])
+        # stack layer lists into arrays for a clean pytree
+        # leading axis must be the batch/beam axis: the beam search
+        # re-gathers cache rows with tree_map(lambda c: c[src])
+        return {
+            "h": jnp.stack(state["h"], 1), "c": jnp.stack(state["c"], 1),
+            "w": state["w"],
+        }
+
+    def score_step(self, tokens_step, pos, memory, memory_lengths, cache):
+        enc_mask = make_valid_mask(memory_lengths, memory.shape[1])
+        state = {
+            "h": [cache["h"][:, i] for i in range(self.num_layers)],
+            "c": [cache["c"][:, i] for i in range(self.num_layers)],
+            "w": cache["w"],
+        }
+        logits, new_state = self._step(
+            tokens_step, state, memory, enc_mask, True
+        )
+        new_cache = {
+            "h": jnp.stack(new_state["h"], 1),
+            "c": jnp.stack(new_state["c"], 1),
+            "w": new_state["w"],
+        }
+        return jax.nn.log_softmax(logits.astype(jnp.float32), -1), new_cache

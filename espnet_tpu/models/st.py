@@ -104,7 +104,8 @@ class STModel(nn.Module):
         return self.decoder.score_step(tokens_step, pos, memory,
                                        memory_lengths, cache)
 
-    def decoder_init_cache(self, batch, max_len):
+    def decoder_init_cache(self, batch, max_len, memory=None,
+                           memory_lengths=None):
         return self.decoder.init_cache(batch, max_len)
 
     def _att_loss(self, decoder, enc, enc_lengths, text, text_lengths,
