@@ -46,6 +46,7 @@ class Trainer:
         options: TrainerOptions = TrainerOptions(),
         batch_arg_names=("speech", "speech_lengths", "text", "text_lengths"),
         device_put: Optional[Callable] = None,
+        rng_names=("dropout", "specaug"),
     ):
         self.model = model
         self.tx = tx
@@ -53,6 +54,7 @@ class Trainer:
         self.ckpt = CheckpointManager(out_dir, options.keep_nbest)
         self.reporter = Reporter()
         self.train_step = make_train_step(model, tx,
+                                          rng_names=rng_names,
                                           batch_arg_names=batch_arg_names)
         self.eval_step = make_eval_step(model, batch_arg_names=batch_arg_names)
         self.batch_arg_names = batch_arg_names
