@@ -19,12 +19,15 @@ import jax.numpy as jnp
 from espnet_tpu.models.asr import GlobalMVN
 from espnet_tpu.models.tts.fastspeech2 import FastSpeech2, FastSpeech2Config
 from espnet_tpu.models.tts.tacotron2 import Tacotron2, Tacotron2Config
+from espnet_tpu.models.tts.transformer_tts import (
+    TransformerTTS, TransformerTTSConfig,
+)
 from espnet_tpu.ops.stft import log_mel_spectrogram
 
 
 @dataclasses.dataclass(frozen=True)
 class TTSTaskConfig:
-    tts_type: str = "tacotron2"  # tacotron2 | fastspeech2
+    tts_type: str = "tacotron2"  # tacotron2 | fastspeech2 | transformer
     vocab_size: int = -1
     fs: int = 16000
     n_fft: int = 1024
@@ -37,6 +40,7 @@ class TTSTaskConfig:
     # passthrough dicts are flattened into the sub-configs by the task
     tacotron2: Optional[Tacotron2Config] = None
     fastspeech2: Optional[FastSpeech2Config] = None
+    transformer: Optional[TransformerTTSConfig] = None
 
 
 class TTSModel(nn.Module):
@@ -48,6 +52,8 @@ class TTSModel(nn.Module):
             self.tts = Tacotron2(c.tacotron2)
         elif c.tts_type == "fastspeech2":
             self.tts = FastSpeech2(c.fastspeech2)
+        elif c.tts_type == "transformer":
+            self.tts = TransformerTTS(c.transformer)
         else:
             raise ValueError(f"unknown tts_type {c.tts_type}")
         if c.normalize == "global_mvn":
@@ -65,8 +71,9 @@ class TTSModel(nn.Module):
 
     def _fit_reduction(self, mel, mel_lengths):
         c = self.config
-        if c.tts_type == "tacotron2":
-            r = c.tacotron2.reduction_factor
+        if c.tts_type in ("tacotron2", "transformer"):
+            sub = c.tacotron2 if c.tts_type == "tacotron2" else c.transformer
+            r = sub.reduction_factor
             if r > 1:
                 t = (mel.shape[1] // r) * r
                 mel = mel[:, :t]
@@ -87,7 +94,7 @@ class TTSModel(nn.Module):
         c = self.config
         mel, mel_lengths = self.extract_feats(speech, speech_lengths)
         mel, mel_lengths = self._fit_reduction(mel, mel_lengths)
-        if c.tts_type == "tacotron2":
+        if c.tts_type in ("tacotron2", "transformer"):
             loss, stats, _ = self.tts(text, text_lengths, mel, mel_lengths,
                                       deterministic)
         else:
@@ -109,4 +116,6 @@ class TTSModel(nn.Module):
         if self.config.tts_type == "tacotron2":
             mel, lens, _ = self.tts.inference(text, text_lengths, max_frames)
             return mel, lens
+        if self.config.tts_type == "transformer":
+            return self.tts.inference(text, text_lengths, max_frames)
         return self.tts.inference(text, text_lengths)

@@ -24,6 +24,7 @@ from espnet_tpu.data.fileio import read_2column_text
 from espnet_tpu.data.sampler import build_batches
 from espnet_tpu.models.tts.fastspeech2 import FastSpeech2Config
 from espnet_tpu.models.tts.model import TTSModel, TTSTaskConfig
+from espnet_tpu.models.tts.transformer_tts import TransformerTTSConfig
 from espnet_tpu.models.tts.tacotron2 import Tacotron2Config
 from espnet_tpu.tasks.abs_task import AbsTask, OptimConfig, RunConfig
 from espnet_tpu.tasks.asr import ASRTask
@@ -60,6 +61,7 @@ class TTSModelSection:
     normalize: str = "global_mvn"
     tacotron2: Tacotron2Config = Tacotron2Config()
     fastspeech2: FastSpeech2Config = FastSpeech2Config()
+    transformer: TransformerTTSConfig = TransformerTTSConfig()
 
 
 class TTSDatasetWithDurations(ASRDataset):
@@ -109,6 +111,7 @@ class TTSTask(AbsTask):
             normalize=mc.normalize,
             tacotron2=fix(mc.tacotron2),
             fastspeech2=fix(mc.fastspeech2),
+            transformer=fix(mc.transformer),
         )
         return TTSModel(cfg)
 
@@ -189,6 +192,7 @@ class TTSTask(AbsTask):
                 resume=run.resume,
             ),
             batch_arg_names=tuple(batch_args),
+            rng_names=("dropout", "specaug", "prenet"),
         )
         batch0 = next(train_iter.epoch(0))
         batch0.pop("keys", None)
