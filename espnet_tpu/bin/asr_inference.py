@@ -131,10 +131,18 @@ def main(argv=None):
 
     hyps_text = {}
     nbest_rows = []
+    import time as _time
+
+    audio_seconds = 0.0
+    decode_seconds = 0.0
     for batch in it.epoch(0):
         keys = batch.pop("keys")
+        if data.input_type == "raw":
+            audio_seconds += float(np.sum(batch["speech_lengths"])) / data.fs
+        _t0 = _time.perf_counter()
         results = s2t(batch["speech"], batch["speech_lengths"], keys=keys,
                       nbest=args.nbest)
+        decode_seconds += _time.perf_counter() - _t0
         for r in results:
             hyps_text[r.key] = r.text
             nbest_rows.append({
@@ -143,6 +151,15 @@ def main(argv=None):
             })
         logger.info("decoded %d utts", len(hyps_text))
     write_2column_text(out / "text", hyps_text)
+    if audio_seconds > 0:
+        # RTF report (reference `utils/calculate_rtf.py:16`)
+        rtf = decode_seconds / audio_seconds
+        (out / "rtf.txt").write_text(
+            f"decode_s {decode_seconds:.3f} audio_s {audio_seconds:.3f} "
+            f"RTF {rtf:.4f}\n"
+        )
+        logger.info("RTF %.4f (%.1fs decode / %.1fs audio)", rtf,
+                    decode_seconds, audio_seconds)
     with open(out / "nbest.jsonl", "w") as f:
         for row in nbest_rows:
             f.write(json.dumps(row) + "\n")
