@@ -32,6 +32,8 @@ def get_parser():
     p.add_argument("--ctc_weight", type=float, default=0.3)
     p.add_argument("--lm_weight", type=float, default=0.0)
     p.add_argument("--lm_exp_dir", default=None)
+    p.add_argument("--ngram_file", default=None, help="ARPA LM for fusion")
+    p.add_argument("--ngram_weight", type=float, default=0.0)
     p.add_argument("--penalty", type=float, default=0.0)
     p.add_argument("--maxlenratio", type=float, default=0.0)
     p.add_argument("--minlenratio", type=float, default=0.0)
@@ -121,10 +123,20 @@ def main(argv=None):
         lm_model = LMTask.build_inference_lm(lm_cfg["model"], len(converter))
         lm_params = full["lm"]
 
+    ngram_scorer = None
+    if args.ngram_file and args.ngram_weight > 0:
+        from espnet_tpu.lm.ngram import DenseNgramScorer, NgramModel
+
+        logger.info("loading ngram: %s", args.ngram_file)
+        ngram_scorer = DenseNgramScorer(
+            NgramModel.load_arpa(args.ngram_file), converter.token_list
+        )
+
     s2t = Speech2Text(
         model, params, extra, tokenizer, converter,
         beam_size=args.beam_size, ctc_weight=args.ctc_weight,
         lm_weight=args.lm_weight, lm_model=lm_model, lm_params=lm_params,
+        ngram_scorer=ngram_scorer, ngram_weight=args.ngram_weight,
         penalty=args.penalty, maxlenratio=args.maxlenratio,
         minlenratio=args.minlenratio, max_steps=args.max_steps,
     )

@@ -45,6 +45,8 @@ class Speech2Text:
         lm_weight: float = 0.0,
         lm_model=None,
         lm_params=None,
+        ngram_scorer=None,
+        ngram_weight: float = 0.0,
         penalty: float = 0.0,
         maxlenratio: float = 0.0,
         minlenratio: float = 0.0,
@@ -56,6 +58,8 @@ class Speech2Text:
         self.converter = converter
         self.lm_model = lm_model
         self.lm_variables = {"params": lm_params} if lm_params is not None else None
+        self.ngram_scorer = ngram_scorer
+        self.ngram_weight = ngram_weight
         cfg = model.config
         self.cfg = BeamSearchConfig(
             beam_size=beam_size,
@@ -66,6 +70,9 @@ class Speech2Text:
             maxlenratio=maxlenratio,
             minlenratio=minlenratio,
         )
+        if ngram_scorer is not None and ngram_weight > 0 and lm_weight <= 0:
+            # n-gram rides the search's lm slot
+            self.cfg = dataclasses.replace(self.cfg, lm_weight=ngram_weight)
         self.max_steps = max_steps
         self.sos = cfg.sos_id
         self.eos = cfg.eos_id
@@ -112,6 +119,26 @@ class Speech2Text:
                     self.lm_variables, tokens, pos, cache,
                     method=type(self.lm_model).score_step,
                 )
+        if self.ngram_scorer is not None and self.ngram_weight > 0:
+            # fold the n-gram scorer into the lm slot (reference fuses the
+            # kenlm scorer with its own weight, `asr_inference.py` scorers);
+            # cfg.lm_weight was normalised in __init__ so the search's
+            # lm_weight multiplier applies the right scale
+            ng_fn = self.ngram_scorer.make_score_fn()
+            ng_cache = self.ngram_scorer.init_cache(b * w)
+            if lm_score_fn is None:
+                lm_score_fn = ng_fn
+                lm_cache = ng_cache
+            else:
+                neural_fn = lm_score_fn
+                lam = self.ngram_weight / max(self.cfg.lm_weight, 1e-8)
+
+                def lm_score_fn(tokens, pos, cache):  # noqa: F811
+                    lp1, c1 = neural_fn(tokens, pos, cache[0])
+                    lp2, c2 = ng_fn(tokens, pos, cache[1])
+                    return lp1 + lam * lp2, (c1, c2)
+
+                lm_cache = (lm_cache, ng_cache)
 
         return batched_beam_search(
             self.cfg, self.sos, self.eos, self.vocab_size, enc_lens,
