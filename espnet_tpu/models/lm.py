@@ -159,4 +159,5 @@ def lm_loss(logits, targets, valid_mask):
     nll = nll * valid_mask
     n = jnp.maximum(jnp.sum(valid_mask), 1)
     loss = jnp.sum(nll) / n
-    return loss, {"loss": loss, "ppl": jnp.exp(loss)}
+    return loss, {"loss": loss, "ppl": jnp.exp(loss),
+                  "nll_sum": jnp.sum(nll), "ntokens": n}

@@ -65,3 +65,51 @@ def test_pack_unpack(tmp_path):
     assert (tmp_path / "exp2" / "config.yaml").exists()
     assert (tmp_path / "exp2" / "tokens.txt").exists()
     assert (tmp_path / "exp2" / "stats" / "feats_stats.npz").exists()
+
+
+def test_lm_calc_perplexity_cli(tmp_path):
+    from espnet_tpu.bin.lm_calc_perplexity import main as ppl_main
+    from espnet_tpu.bin.lm_train import main as lm_main
+    from espnet_tpu.data.synth import generate_corpus
+
+    generate_corpus(tmp_path / "data", n_utts=10, min_words=2, max_words=3)
+    lm_main([
+        "--run.output_dir", str(tmp_path / "lm_exp"),
+        "--run.max_epoch", "1", "--run.log_interval", "1000",
+        "--run.best_metric", "valid.loss.min",
+        "--data.train_dir", str(tmp_path / "data"),
+        "--data.valid_dir", str(tmp_path / "data"),
+        "--data.batch_size", "5",
+        "--model.d_model", "16", "--model.num_heads", "2",
+        "--model.d_ff", "32", "--model.num_layers", "1",
+        "--model.dropout_rate", "0.0",
+        "--optim.schedule", "constant", "--optim.lr", "0.002",
+    ])
+    ppl = ppl_main([
+        "--exp_dir", str(tmp_path / "lm_exp"),
+        "--data_dir", str(tmp_path / "data"),
+        "--output_dir", str(tmp_path / "ppl"),
+        "--batch_size", "5",
+    ])
+    import numpy as np
+
+    assert np.isfinite(ppl) and ppl > 1.0
+    assert (tmp_path / "ppl" / "ppl").exists()
+
+
+def test_aggregate_stats_dirs(tmp_path):
+    import numpy as np
+
+    from espnet_tpu.bin.aggregate_stats_dirs import main
+
+    for i in range(2):
+        d = tmp_path / f"stats.{i}"
+        d.mkdir()
+        np.savez(d / "feats_stats.npz", count=np.asarray(10.0 * (i + 1)),
+                 sum=np.full(4, i + 1.0), sum_square=np.full(4, 2.0 * (i + 1)))
+    main(["--input_dirs", str(tmp_path / "stats.0"), str(tmp_path / "stats.1"),
+          "--output_dir", str(tmp_path / "merged")])
+    with np.load(tmp_path / "merged" / "feats_stats.npz") as z:
+        assert int(z["count"]) == 30
+        np.testing.assert_allclose(z["sum"], 3.0)
+        np.testing.assert_allclose(z["sum_square"], 6.0)
