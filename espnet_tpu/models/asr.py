@@ -63,7 +63,7 @@ class ASRConfig:
     subsampling_factor: int = 4
     conformer_kernel_size: int = 31
     # decoder
-    decoder_type: str = "transformer"  # "transformer" | "rnn" (v1 AttLoc LSTM)
+    decoder_type: str = "transformer"  # transformer | rnn (v1 AttLoc) | s4
     num_decoder_layers: int = 6
     decoder_d_ff: int = 2048
     # loss
@@ -196,7 +196,19 @@ class ASRModel(nn.Module):
         else:
             raise ValueError(f"unknown encoder_type {c.encoder_type}")
         if c.ctc_weight < 1.0:
-            if c.decoder_type == "rnn":
+            if c.decoder_type == "s4":
+                from espnet_tpu.models.s4_decoder import S4Decoder
+
+                self.decoder = S4Decoder(
+                    vocab_size=c.vocab_size,
+                    d_model=c.d_model,
+                    num_heads=c.num_heads,
+                    d_ff=c.decoder_d_ff,
+                    num_layers=c.num_decoder_layers,
+                    dropout_rate=c.dropout_rate,
+                    dtype=c.dtype,
+                )
+            elif c.decoder_type == "rnn":
                 from espnet_tpu.models.rnn import RNNDecoder
 
                 self.decoder = RNNDecoder(
