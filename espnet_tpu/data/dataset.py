@@ -161,14 +161,17 @@ def collate(
     # to the mixture shape
     aliases = {"durations": "text", "pitch": "text", "energy": "text",
                "speech_ref": "speech_mix", "noise_ref": "speech_mix",
-               "spk_labels": "speech"}
+               "spk_labels": "speech", "src_speech": "speech"}
     for f in fields:
         if f not in items[0]:
             continue
         arrs = [it[f] for it in items]
         max_len = batch.pad_shapes.get(
             f, batch.pad_shapes.get(aliases.get(f, f), 0)
-        ) or max(a.shape[0] for a in arrs)
+        ) or 0
+        # aliased fields may exceed their anchor's padded shape (e.g. a VC
+        # source longer than the target) — never truncate
+        max_len = max(max_len, max(a.shape[0] for a in arrs))
         lengths = np.asarray([a.shape[0] for a in arrs], np.int32)
         trailing = arrs[0].shape[1:]
         buf = np.zeros((len(arrs), max_len, *trailing), arrs[0].dtype)

@@ -178,3 +178,32 @@ def generate_diar_corpus(
             w["wav.scp"][uid] = str(path)
     (out / "rttm").write_text("\n".join(rttm_lines) + "\n")
     return out
+
+
+def generate_vc_corpus(
+    out_dir, n_utts: int = 10, fs: int = 16000, min_words: int = 2,
+    max_words: int = 3, seed: int = 0,
+):
+    """Parallel VC toy corpus: target = source pitch-shifted (speed-perturbed
+    without length change via resample-and-pad)."""
+    from espnet_tpu.ops.perturb import speed_perturb
+
+    out = Path(out_dir)
+    (out / "wav").mkdir(parents=True, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    with DatadirWriter(out) as w:
+        for i in range(n_utts):
+            uid = f"utt{i:04d}"
+            nw = rng.randint(min_words, max_words + 1)
+            word_ids = rng.randint(0, len(WORDS), nw)
+            src = synth_utterance(list(word_ids), fs, rng=rng)
+            shifted = speed_perturb(src, 1.25)  # pitch+tempo shift
+            tgt = np.zeros_like(src)
+            tgt[: len(shifted)] = shifted[: len(src)]
+            sp = out / "wav" / f"{uid}_src.wav"
+            tp = out / "wav" / f"{uid}_tgt.wav"
+            write_wav(sp, src, fs)
+            write_wav(tp, tgt, fs)
+            w["wav.scp"][uid] = str(sp)
+            w["tgt_wav.scp"][uid] = str(tp)
+    return out

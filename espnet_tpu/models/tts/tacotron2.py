@@ -35,6 +35,10 @@ NEG_INF = -1.0e30
 class Tacotron2Config:
     vocab_size: int = -1
     n_mels: int = 80
+    # "text" (token ids) or "feats" (continuous frames, e.g. source-speaker
+    # mel for voice conversion, `espnet/nets/pytorch_backend/e2e_vc_tacotron2.py`)
+    input_type: str = "text"
+    input_dim: int = 80          # used when input_type == "feats"
     embed_dim: int = 512
     encoder_conv_layers: int = 3
     encoder_conv_channels: int = 512
@@ -67,7 +71,11 @@ class Tacotron2Encoder(nn.Module):
     @nn.compact
     def __call__(self, text, text_lengths, deterministic: bool = True):
         c = self.cfg
-        x = nn.Embed(c.vocab_size, c.embed_dim, dtype=c.dtype, name="embed")(text)
+        if c.input_type == "feats":
+            x = nn.Dense(c.embed_dim, dtype=c.dtype, name="in_proj")(text)
+        else:
+            x = nn.Embed(c.vocab_size, c.embed_dim, dtype=c.dtype,
+                         name="embed")(text)
         mask = make_valid_mask(text_lengths, text.shape[1])
         for i in range(c.encoder_conv_layers):
             x = nn.Conv(c.encoder_conv_channels, (c.encoder_conv_kernel,),
