@@ -171,10 +171,10 @@ class WaveNet(nn.Module):
                 self.skip_convs, c.dilations,
             )):
                 buf = bufs[li]
-                inp = jnp.concatenate([buf, x], axis=1)  # ((k-1)d + 1)
-                # taps at offsets 0, d, 2d, ... relative to the end
-                taps = inp[:, ::d][:, -k:] if d > 0 else inp[:, -k:]
-                h = conv(taps)
+                # contiguous ((k-1)d + 1) window; the layer's own dilation
+                # picks the taps at offsets 0, d, ... -> one output sample
+                inp = jnp.concatenate([buf, x], axis=1)
+                h = conv(inp)
                 h = h + aconv(aux)
                 a, g = jnp.split(h, 2, axis=-1)
                 z = jnp.tanh(a) * nn.sigmoid(g)
