@@ -102,3 +102,66 @@ class Reporter:
     def load_state_dict(self, state: dict) -> None:
         self.epochs = {int(k): v for k, v in state["epochs"].items()}
         self.epoch = state["epoch"]
+
+
+def matplotlib_plot(reporter: "Reporter", out_dir) -> None:
+    """Write per-metric training curves (reference
+    `espnet2/train/reporter.py:492` Reporter.matplotlib_plot)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from pathlib import Path
+
+    out = Path(out_dir) / "images"
+    out.mkdir(parents=True, exist_ok=True)
+    keys = sorted({
+        k for d in reporter.epochs.values()
+        for stats in d.values() for k in stats
+    })
+    for key in keys:
+        fig, ax = plt.subplots(figsize=(6, 4))
+        plotted = False
+        for phase in sorted({p for d in reporter.epochs.values() for p in d}):
+            xs = sorted(e for e, d in reporter.epochs.items()
+                        if key in d.get(phase, {}))
+            if not xs:
+                continue
+            ys = [reporter.epochs[e][phase][key] for e in xs]
+            ax.plot(xs, ys, marker="x", label=phase)
+            plotted = True
+        if not plotted:
+            plt.close(fig)
+            continue
+        ax.set_xlabel("epoch")
+        ax.set_title(key)
+        ax.grid(True)
+        ax.legend()
+        fig.savefig(out / f"{key}.png", bbox_inches="tight")
+        plt.close(fig)
+
+
+class TensorboardLogger:
+    """Per-epoch scalar logging (reference `espnet2/train/trainer.py:255-265`
+    TensorBoard emit); no-op when tensorboardX is unavailable."""
+
+    def __init__(self, out_dir):
+        try:
+            from tensorboardX import SummaryWriter
+
+            from pathlib import Path
+
+            self.writer = SummaryWriter(str(Path(out_dir) / "tensorboard"))
+        except Exception:
+            self.writer = None
+
+    def log_epoch(self, epoch: int, phase: str, stats: Dict[str, float]):
+        if self.writer is None:
+            return
+        for k, v in stats.items():
+            self.writer.add_scalar(f"{phase}/{k}", v, epoch)
+        self.writer.flush()
+
+    def close(self):
+        if self.writer is not None:
+            self.writer.close()

@@ -22,6 +22,7 @@ import numpy as np
 from espnet_tpu.train.checkpoint import CheckpointManager
 from espnet_tpu.train.reporter import Reporter, SubReporter
 from espnet_tpu.train.steps import TrainState, make_eval_step, make_train_step
+from espnet_tpu.train.reporter import TensorboardLogger, matplotlib_plot
 
 logger = logging.getLogger("espnet_tpu")
 
@@ -51,8 +52,10 @@ class Trainer:
         self.model = model
         self.tx = tx
         self.options = options
+        self.out_dir = out_dir
         self.ckpt = CheckpointManager(out_dir, options.keep_nbest)
         self.reporter = Reporter()
+        self.tb = TensorboardLogger(out_dir)
         self.train_step = make_train_step(model, tx,
                                           rng_names=rng_names,
                                           batch_arg_names=batch_arg_names)
@@ -119,6 +122,7 @@ class Trainer:
                 if i % opts.log_interval == 0:
                     logger.info(sub.log_message(i, n_steps))
             train_stats = self.reporter.finish_phase(sub)
+            self.tb.log_epoch(epoch, "train", train_stats)
 
             # ---- valid phase ----
             if valid_iter is not None:
@@ -129,7 +133,9 @@ class Trainer:
                     )
                     stats = jax.device_get(self.eval_step(state, batch))
                     sub.register(stats, weight=len(batch[self.batch_arg_names[0]]))
-                self.reporter.finish_phase(sub)
+                self.tb.log_epoch(
+                    epoch, "valid", self.reporter.finish_phase(sub)
+                )
 
             for hook in hooks:
                 hook(self, state, epoch)
@@ -156,6 +162,8 @@ class Trainer:
             ):
                 logger.info("early stopping at epoch %d", epoch)
                 break
+        matplotlib_plot(self.reporter, self.out_dir)
+        self.tb.close()
         # n-best average
         phase, key, mode = opts.best_metric
         if valid_iter is None:
