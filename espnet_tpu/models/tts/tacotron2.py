@@ -56,6 +56,9 @@ class Tacotron2Config:
     reduction_factor: int = 1
     dropout_rate: float = 0.5
     zoneout_rate: float = 0.1  # modeled as plain dropout on lstm outputs
+    use_gst: bool = False        # global style tokens (`espnet2/tts/gst`)
+    gst_tokens: int = 10
+    gst_heads: int = 4
     use_guided_attn: bool = True
     guided_attn_sigma: float = 0.4
     guided_attn_lambda: float = 1.0
@@ -177,6 +180,15 @@ class Tacotron2(nn.Module):
         )(c, name="decoder")
         self.postnet = Postnet(c.n_mels, c.postnet_channels, c.postnet_layers,
                                c.dtype, name="postnet")
+        if self.config.use_gst:
+            from espnet_tpu.models.tts.gst import StyleEncoder
+
+            self.gst = StyleEncoder(
+                num_tokens=self.config.gst_tokens,
+                token_dim=self.config.encoder_lstm_units,
+                num_heads=self.config.gst_heads,
+                dtype=self.config.dtype,
+            )
 
     def _init_carry(self, memory, text_lengths):
         c = self.config
@@ -203,6 +215,10 @@ class Tacotron2(nn.Module):
         assert t % r == 0, f"mel length {t} not a multiple of reduction {r}"
         n_dec = t // r
         memory = self.encoder(text, text_lengths, deterministic)
+        if c.use_gst:
+            # style embedding from the target reference mel, broadcast-added
+            # to the encoder states (Tacotron2-GST integration)
+            memory = memory + self.gst(mel)[:, None]
         carry = self._init_carry(memory, text_lengths)
         # teacher inputs: previous group's last frame; zeros for step 0
         teacher = mel[:, r - 1 :: r][:, :-1]
@@ -269,6 +285,7 @@ class Tacotron2(nn.Module):
     def inference(
         self, text: jnp.ndarray, text_lengths: jnp.ndarray,
         max_frames: Optional[int] = None,
+        ref_mel: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Free-running AR synthesis (decoder.py `inference`).
 
@@ -278,6 +295,10 @@ class Tacotron2(nn.Module):
         r = c.reduction_factor
         n_dec = (max_frames or c.max_frames) // r
         memory = self.encoder(text, text_lengths, True)
+        if c.use_gst:
+            if ref_mel is None:
+                raise ValueError("use_gst inference needs a ref_mel")
+            memory = memory + self.gst(ref_mel)[:, None]
         carry = self._init_carry(memory, text_lengths)
         b = text.shape[0]
         dummy = jnp.zeros((b, n_dec, c.n_mels), c.dtype)
