@@ -23,7 +23,8 @@ from espnet_tpu.models.enh.layers import (
     ConvDecoder, ConvEncoder, STFTDecoder, STFTEncoder,
 )
 from espnet_tpu.models.enh.separators import (
-    DPRNNSeparator, TCNSeparator, TransformerSeparator,
+    ConformerSeparator, DPRNNSeparator, DPTNetSeparator, SkiMSeparator,
+    TCNSeparator, TransformerSeparator,
 )
 from espnet_tpu.ops.enh_losses import pit_solve, si_snr_loss, snr_loss
 
@@ -40,7 +41,7 @@ class EnhConfig:
     n_fft: int = 512
     hop_length: int = 128
     # separator
-    separator_type: str = "tcn"      # tcn | dprnn | transformer
+    separator_type: str = "tcn"  # tcn | dprnn | transformer | dptnet | skim | conformer
     tcn_layers: int = 8
     tcn_stacks: int = 3
     tcn_bottleneck: int = 128
@@ -53,6 +54,9 @@ class EnhConfig:
     trans_heads: int = 4
     trans_d_ff: int = 1024
     trans_layers: int = 4
+    conformer_kernel: int = 15
+    skim_segment: int = 20
+    skim_mem_type: str = "hc"
     nonlinear: str = "relu"
     # loss
     loss_type: str = "si_snr"        # si_snr | snr
@@ -99,6 +103,24 @@ class EnhancementModel(nn.Module):
                 feat_dim, c.num_spk, c.trans_d_model, c.trans_heads,
                 c.trans_d_ff, c.trans_layers, c.dropout_rate, c.nonlinear,
                 c.dtype, name="separator",
+            )
+        elif c.separator_type == "dptnet":
+            self.separator = DPTNetSeparator(
+                feat_dim, c.num_spk, c.dprnn_blocks, 0, c.trans_heads,
+                c.dprnn_hidden, c.dprnn_chunk, c.nonlinear, c.dropout_rate,
+                c.dtype, name="separator",
+            )
+        elif c.separator_type == "skim":
+            self.separator = SkiMSeparator(
+                feat_dim, c.num_spk, c.dprnn_blocks, c.dprnn_hidden,
+                c.skim_segment, True, c.skim_mem_type, c.nonlinear,
+                c.dtype, name="separator",
+            )
+        elif c.separator_type == "conformer":
+            self.separator = ConformerSeparator(
+                feat_dim, c.num_spk, c.trans_d_model, c.trans_heads,
+                c.trans_d_ff, c.trans_layers, c.conformer_kernel,
+                c.dropout_rate, c.nonlinear, c.dtype, name="separator",
             )
         else:
             raise ValueError(f"unknown separator_type {c.separator_type}")

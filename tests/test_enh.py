@@ -62,7 +62,9 @@ def test_pit_three_speakers():
     assert np.all(np.asarray(best) == np.asarray(perm)[None, :])
 
 
-@pytest.mark.parametrize("sep", ["tcn", "dprnn", "transformer"])
+@pytest.mark.parametrize(
+    "sep", ["tcn", "dprnn", "transformer", "dptnet", "skim", "conformer"]
+)
 def test_model_forward_backward(sep):
     from espnet_tpu.models.enh import EnhancementModel, EnhConfig
 
