@@ -57,6 +57,13 @@ class EnhConfig:
     conformer_kernel: int = 15
     skim_segment: int = 20
     skim_mem_type: str = "hc"
+    # neural beamformer (separator_type="beamformer", multichannel input)
+    use_wpe: bool = False
+    wpe_taps: int = 5
+    wpe_delay: int = 3
+    bf_hidden: int = 128
+    bf_layers: int = 2
+    ref_channel: int = 0
     nonlinear: str = "relu"
     # loss
     loss_type: str = "si_snr"        # si_snr | snr
@@ -69,6 +76,19 @@ class EnhancementModel(nn.Module):
 
     def setup(self):
         c = self.config
+        if c.separator_type == "beamformer":
+            # Multichannel WPE+MVDR front-end: works on waveforms directly
+            # (`espnet2/enh/separator/neural_beamformer.py:15`).
+            from espnet_tpu.models.enh.beamformer import BeamformerSeparator
+
+            self.separator = BeamformerSeparator(
+                c.n_fft, c.hop_length, c.use_wpe, c.wpe_taps, c.wpe_delay,
+                c.bf_hidden, c.bf_layers, c.ref_channel, c.dtype,
+                name="separator",
+            )
+            self.encoder = None
+            self.decoder = None
+            return
         if c.encoder_type == "conv":
             self.encoder = ConvEncoder(
                 c.enc_channels, c.enc_kernel, c.enc_stride, c.dtype,
@@ -129,6 +149,11 @@ class EnhancementModel(nn.Module):
                         deterministic: bool = True):
         """Mixture -> per-speaker waveforms (B, n_spk, n)
         (`espnet_model.py:178`)."""
+        if self.config.separator_type == "beamformer":
+            wavs, _, others = self.separator(
+                speech_mix, speech_lengths, deterministic
+            )
+            return wavs, others
         n = speech_mix.shape[1]
         feat, flens = self.encoder(speech_mix, speech_lengths)
         masked, _, others = self.separator(feat, flens, deterministic)
