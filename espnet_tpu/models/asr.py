@@ -35,7 +35,8 @@ from espnet_tpu.ops.normalize import utterance_mvn
 class ASRConfig:
     vocab_size: int
     # frontend
-    input_type: str = "raw"  # "raw" waveform | "feats" precomputed
+    input_type: str = "raw"  # "raw" waveform | "feats" precomputed | "sinc"
+    sinc_out_dim: int = 256  # LightweightSincConvs output dim
     fs: int = 16000
     n_fft: int = 512
     hop_length: int = 128
@@ -50,8 +51,10 @@ class ASRConfig:
     normalize: str = "global_mvn"  # "global_mvn" | "utterance_mvn" | "none"
     # encoder
     # conformer | transformer | branchformer | e_branchformer |
-    # contextual_block_conformer
+    # contextual_block_conformer | longformer | vgg_blstm
     encoder_type: str = "conformer"
+    # longformer band half-width, in subsampled frames
+    attention_window: int = 100
     # streaming (contextual_block_conformer) geometry, in subsampled frames
     block_size: int = 40
     stream_hop_size: int = 16
@@ -165,6 +168,20 @@ class ASRModel(nn.Module):
                 variant=c.encoder_type,
                 dtype=c.dtype,
             )
+        elif c.encoder_type == "longformer":
+            from espnet_tpu.models.longformer import LongformerEncoder
+
+            self.encoder = LongformerEncoder(
+                d_model=c.d_model,
+                num_heads=c.num_heads,
+                d_ff=c.d_ff,
+                num_layers=c.num_encoder_layers,
+                window=c.attention_window,
+                kernel_size=c.conformer_kernel_size,
+                dropout_rate=c.dropout_rate,
+                subsampling_factor=c.subsampling_factor,
+                dtype=c.dtype,
+            )
         elif c.encoder_type == "vgg_blstm":
             from espnet_tpu.models.rnn import VGGRNNEncoder
 
@@ -239,8 +256,19 @@ class ASRModel(nn.Module):
                     nn.initializers.xavier_uniform(), ("embed", "vocab")
                 ),
             )
+        if c.input_type == "sinc":
+            from espnet_tpu.models.sinc import LightweightSincConvs
+
+            self.sinc_frontend = LightweightSincConvs(
+                fs=c.fs, win_length=c.win_length or 400,
+                hop_length=c.hop_length, out_dim=c.sinc_out_dim,
+                dropout_rate=c.dropout_rate, dtype=c.dtype,
+                name="sinc_frontend",
+            )
         if c.normalize == "global_mvn":
-            self.mvn = GlobalMVN(c.n_mels)
+            self.mvn = GlobalMVN(
+                c.sinc_out_dim if c.input_type == "sinc" else c.n_mels
+            )
 
     def _frontend(self, speech, speech_lengths, deterministic: bool):
         c = self.config
@@ -248,6 +276,10 @@ class ASRModel(nn.Module):
             feats, feat_lengths = log_mel_spectrogram(
                 speech, speech_lengths, c.fs, c.n_fft, c.hop_length,
                 c.win_length, c.n_mels,
+            )
+        elif c.input_type == "sinc":
+            feats, feat_lengths = self.sinc_frontend(
+                speech, speech_lengths, deterministic
             )
         else:
             feats, feat_lengths = speech, speech_lengths
