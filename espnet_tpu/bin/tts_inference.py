@@ -117,14 +117,19 @@ def main(argv=None):
         gen, _ = VocoderTask.build_models(vcfg["model"], vcfg["data"].n_mels)
         mel_frames = 16
         g_target = nn.meta.unbox(gen.init(
-            jax.random.PRNGKey(0),
+            {"params": jax.random.PRNGKey(0),
+             "noise": jax.random.PRNGKey(1)},
             jnp.zeros((1, mel_frames, vcfg["data"].n_mels)),
         ))["params"]
         g_params = load_pytree(vdir / "generator.msgpack", g_target)
         vocode = jax.jit(
-            lambda mel: gen.apply({"params": g_params}, mel)[..., 0]
+            lambda mel: gen.apply(
+                {"params": g_params}, mel,
+                rngs={"noise": jax.random.PRNGKey(7)},
+            )[..., 0]
         )
-        logger.info("using HiFiGAN vocoder from %s", vdir)
+        logger.info("using %s vocoder from %s",
+                    vcfg["model"].generator_type, vdir)
 
     keys = list(texts)
     for i in range(0, len(keys), args.batch_size):

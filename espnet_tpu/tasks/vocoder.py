@@ -37,12 +37,22 @@ class VocoderDataConfig:
 
 @dataclasses.dataclass(frozen=True)
 class VocoderModelConfig:
+    # hifigan | melgan | multiband_melgan | parallel_wavegan | style_melgan
+    generator_type: str = "hifigan"
+    # "" = the generator's canonical partner; or any of
+    # hifigan_multi | melgan_multi | pwg | style_melgan
+    discriminator_type: str = ""
     channels: int = 512
     kernel_size: int = 7
     upsample_scales: tuple = (8, 8, 2, 2)
     resblock_kernel_sizes: tuple = (3, 7, 11)
+    pwg_layers: int = 30
+    pwg_stacks: int = 3
+    style_channels: int = 64
     lambda_feat_match: float = 2.0
     lambda_mel: float = 45.0
+    # multi-resolution STFT loss weight (PWG / multi-band MelGAN criterion)
+    lambda_stft: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -68,15 +78,57 @@ class VocoderTask(AbsTask):
         from espnet_tpu.models.tts.hifigan import (
             HiFiGANGenerator, HiFiGANMultiDiscriminator,
         )
-
-        gen = HiFiGANGenerator(
-            in_channels=n_mels,
-            channels=model_cfg.channels,
-            kernel_size=model_cfg.kernel_size,
-            upsample_scales=tuple(model_cfg.upsample_scales),
-            resblock_kernel_sizes=tuple(model_cfg.resblock_kernel_sizes),
+        from espnet_tpu.models.tts.vocoders import (
+            MelGANGenerator, MelGANMultiScaleDiscriminator,
+            ParallelWaveGANDiscriminator, ParallelWaveGANGenerator,
+            StyleMelGANDiscriminator, StyleMelGANGenerator,
         )
-        disc = HiFiGANMultiDiscriminator()
+
+        g = model_cfg.generator_type
+        if g == "hifigan":
+            gen = HiFiGANGenerator(
+                in_channels=n_mels,
+                channels=model_cfg.channels,
+                kernel_size=model_cfg.kernel_size,
+                upsample_scales=tuple(model_cfg.upsample_scales),
+                resblock_kernel_sizes=tuple(
+                    model_cfg.resblock_kernel_sizes),
+            )
+            default_disc = "hifigan_multi"
+        elif g in ("melgan", "multiband_melgan"):
+            sub = 4 if g == "multiband_melgan" else 1
+            gen = MelGANGenerator(
+                in_channels=n_mels, out_channels=sub,
+                channels=model_cfg.channels,
+                kernel_size=model_cfg.kernel_size,
+                upsample_scales=tuple(model_cfg.upsample_scales),
+            )
+            default_disc = "melgan_multi"
+        elif g == "parallel_wavegan":
+            gen = ParallelWaveGANGenerator(
+                in_channels=n_mels, layers=model_cfg.pwg_layers,
+                stacks=model_cfg.pwg_stacks,
+                upsample_scales=tuple(model_cfg.upsample_scales),
+            )
+            default_disc = "pwg"
+        elif g == "style_melgan":
+            gen = StyleMelGANGenerator(
+                aux_channels=n_mels, channels=model_cfg.style_channels,
+            )
+            default_disc = "style_melgan"
+        else:
+            raise ValueError(f"unknown generator_type {g}")
+        d = model_cfg.discriminator_type or default_disc
+        if d == "hifigan_multi":
+            disc = HiFiGANMultiDiscriminator()
+        elif d == "melgan_multi":
+            disc = MelGANMultiScaleDiscriminator()
+        elif d == "pwg":
+            disc = ParallelWaveGANDiscriminator()
+        elif d == "style_melgan":
+            disc = StyleMelGANDiscriminator()
+        else:
+            raise ValueError(f"unknown discriminator_type {d}")
         return gen, disc
 
     @classmethod
@@ -129,7 +181,9 @@ class VocoderTask(AbsTask):
 
         rng = jax.random.PRNGKey(run.seed)
         mel0 = jnp.zeros((1, mel_frames, data.n_mels))
-        gen_params = gen.init(rng, mel0)["params"]
+        gen_params = gen.init(
+            {"params": rng, "noise": jax.random.fold_in(rng, 1)}, mel0
+        )["params"]
         disc_params = disc.init(rng, jnp.zeros((1, seg, 1)))["params"]
 
         def make_tx(lr):
@@ -139,12 +193,16 @@ class VocoderTask(AbsTask):
             )
 
         gen_tx, disc_tx = make_tx(opt.gen_lr), make_tx(opt.disc_lr)
-        state = GANTrainState.create(gen_params, gen_tx, disc_params, disc_tx)
+        state = GANTrainState.create(
+            gen_params, gen_tx, disc_params, disc_tx,
+            rng=jax.random.fold_in(rng, 2),
+        )
         step_fn = jax.jit(make_gan_train_step(
             gen, disc, gen_tx, disc_tx,
             GANLossWeights(
                 adv=1.0, feat_match=model_cfg.lambda_feat_match,
-                mel=model_cfg.lambda_mel, fs=data.fs, n_fft=data.n_fft,
+                mel=model_cfg.lambda_mel, stft=model_cfg.lambda_stft,
+                fs=data.fs, n_fft=data.n_fft,
                 hop_length=data.hop_length, n_mels=data.n_mels,
             ),
         ))

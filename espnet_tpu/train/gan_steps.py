@@ -34,15 +34,19 @@ class GANTrainState(struct.PyTreeNode):
     gen_opt: Any
     disc_params: Any
     disc_opt: Any
+    rng: Any = None
 
     @classmethod
-    def create(cls, gen_params, gen_tx, disc_params, disc_tx):
+    def create(cls, gen_params, gen_tx, disc_params, disc_tx, rng=None):
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
         return cls(
             step=jnp.zeros((), jnp.int32),
             gen_params=gen_params,
             gen_opt=gen_tx.init(gen_params),
             disc_params=disc_params,
             disc_opt=disc_tx.init(disc_params),
+            rng=rng,
         )
 
 
@@ -51,6 +55,9 @@ class GANLossWeights:
     adv: float = 1.0
     feat_match: float = 2.0
     mel: float = 45.0
+    # multi-resolution STFT loss (Parallel WaveGAN / multi-band MelGAN
+    # criterion, `parallel_wavegan` MultiResolutionSTFTLoss); 0 = off
+    stft: float = 0.0
     fs: int = 16000
     n_fft: int = 1024
     hop_length: int = 256
@@ -70,9 +77,14 @@ def make_gan_train_step(
 
     def step(state: GANTrainState, mel, wav):
         real = wav[:, :, None]
+        rng = state.rng if state.rng is not None else jax.random.PRNGKey(0)
+        next_rng, noise_key = jax.random.split(rng)
 
         def gen_wav(gp):
-            fake = generator.apply({"params": gp}, mel)  # (B, N', 1)
+            # noise-driven generators (PWG/StyleMelGAN) read the "noise"
+            # rng; deterministic ones (HiFiGAN/MelGAN) ignore it
+            fake = generator.apply({"params": gp}, mel,
+                                   rngs={"noise": noise_key})  # (B, N', 1)
             n = real.shape[1]
             t = fake.shape[1]
             if t >= n:
@@ -107,6 +119,14 @@ def make_gan_train_step(
                 wav, fake[..., 0], w.fs, w.n_fft, w.hop_length, w.n_mels
             )
             loss = w.adv * adv + w.feat_match * fm + w.mel * mel_l1
+            if w.stft > 0.0:
+                from espnet_tpu.models.tts.vocoders import (
+                    multi_resolution_stft_loss,
+                )
+
+                loss = loss + w.stft * multi_resolution_stft_loss(
+                    fake[..., 0], wav
+                )
             return loss, (adv, fm, mel_l1)
 
         (g_loss, (adv, fm, mel_l1)), g_grads = jax.value_and_grad(
@@ -118,7 +138,7 @@ def make_gan_train_step(
         gen_params = optax.apply_updates(state.gen_params, g_updates)
 
         new_state = state.replace(
-            step=state.step + 1,
+            step=state.step + 1, rng=next_rng,
             gen_params=gen_params, gen_opt=gen_opt,
             disc_params=disc_params, disc_opt=disc_opt,
         )
