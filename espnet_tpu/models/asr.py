@@ -71,6 +71,10 @@ class ASRConfig:
     decoder_d_ff: int = 2048
     # loss
     ctc_weight: float = 0.3
+    # InterCTC (`espnet2/asr/espnet_model.py:244-286`): auxiliary CTC on
+    # intermediate encoder layers (1-based indices), mixed into loss_ctc
+    interctc_layer_idx: Tuple[int, ...] = ()
+    interctc_weight: float = 0.0
     lsm_weight: float = 0.1
     dropout_rate: float = 0.1
     dtype: Any = jnp.float32
@@ -132,6 +136,12 @@ class ASRModel(nn.Module):
 
     def setup(self):
         c = self.config
+        if c.interctc_layer_idx and c.encoder_type not in (
+            "conformer", "transformer"
+        ):
+            raise ValueError(
+                "interctc_layer_idx requires a conformer/transformer encoder"
+            )
         if c.encoder_type == "conformer":
             self.encoder = ConformerEncoder(
                 d_model=c.d_model,
@@ -141,6 +151,7 @@ class ASRModel(nn.Module):
                 kernel_size=c.conformer_kernel_size,
                 dropout_rate=c.dropout_rate,
                 subsampling_factor=c.subsampling_factor,
+                capture_layers=tuple(c.interctc_layer_idx),
                 dtype=c.dtype,
             )
         elif c.encoder_type == "transformer":
@@ -151,6 +162,7 @@ class ASRModel(nn.Module):
                 num_layers=c.num_encoder_layers,
                 dropout_rate=c.dropout_rate,
                 subsampling_factor=c.subsampling_factor,
+                capture_layers=tuple(c.interctc_layer_idx),
                 dtype=c.dtype,
             )
         elif c.encoder_type in ("branchformer", "e_branchformer"):
@@ -301,7 +313,18 @@ class ASRModel(nn.Module):
     def encode(self, speech, speech_lengths, deterministic: bool = True):
         """Frontend + encoder (`espnet_model.py:351`), used by inference."""
         feats, feat_lengths = self._frontend(speech, speech_lengths, deterministic)
-        return self.encoder(feats, feat_lengths, deterministic)
+        out = self.encoder(feats, feat_lengths, deterministic)
+        return out[0], out[1]  # drop InterCTC intermediates if any
+
+    def encode_with_intermediates(self, speech, speech_lengths,
+                                  deterministic: bool = True):
+        feats, feat_lengths = self._frontend(
+            speech, speech_lengths, deterministic
+        )
+        out = self.encoder(feats, feat_lengths, deterministic)
+        if len(out) == 3:
+            return out
+        return out[0], out[1], []
 
     def ctc_log_probs(self, encoder_out):
         return jax.nn.log_softmax(
@@ -328,7 +351,9 @@ class ASRModel(nn.Module):
         deterministic: bool = True,
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         c = self.config
-        enc, enc_lengths = self.encode(speech, speech_lengths, deterministic)
+        enc, enc_lengths, inters = self.encode_with_intermediates(
+            speech, speech_lengths, deterministic
+        )
         stats: Dict[str, jnp.ndarray] = {}
         loss_ctc = 0.0
         loss_att = 0.0
@@ -338,6 +363,23 @@ class ASRModel(nn.Module):
                 ctc_logits, text, enc_lengths, text_lengths, c.blank_id
             )
             stats["loss_ctc"] = loss_ctc
+            if inters and c.interctc_weight > 0.0:
+                # aux CTC on intermediate encoder layers, same CTC head
+                # (`espnet_model.py:244-286`)
+                loss_inter = 0.0
+                for idx, h in inters:
+                    li = ctc_loss(
+                        self.ctc_head(h), text, enc_lengths, text_lengths,
+                        c.blank_id,
+                    )
+                    stats[f"loss_interctc_layer{idx}"] = li
+                    loss_inter = loss_inter + li
+                loss_inter = loss_inter / len(inters)
+                loss_ctc = (
+                    (1.0 - c.interctc_weight) * loss_ctc
+                    + c.interctc_weight * loss_inter
+                )
+                stats["loss_interctc"] = loss_inter
             # diagnostic: fraction of utterances whose encoder output is too
             # short for any CTC alignment (zero_infinity silently zeroes
             # them — a high value means the data/subsampling config is bad)

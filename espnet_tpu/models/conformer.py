@@ -119,6 +119,9 @@ class ConformerEncoder(nn.Module):
     dropout_rate: float = 0.1
     subsampling_factor: int = 4
     conv_norm_type: str = "layer"
+    # 1-based layer indices whose outputs are also returned (InterCTC,
+    # `espnet2/asr/encoder/conformer_encoder.py` interctc_layer_idx)
+    capture_layers: tuple = ()
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -132,10 +135,15 @@ class ConformerEncoder(nn.Module):
         pos_emb = rel_position_encoding(t, self.d_model, self.dtype)
         pad_mask = make_valid_mask(olens, t)
         bias = attention_bias(pad_mask[:, None, None, :])
+        intermediates = []
         for i in range(self.num_layers):
             x = ConformerBlock(
                 self.d_model, self.num_heads, self.d_ff, self.kernel_size,
                 self.dropout_rate, self.conv_norm_type, self.dtype,
                 name=f"layer{i}",
             )(x, pos_emb, bias, pad_mask, deterministic)
+            if (i + 1) in self.capture_layers:
+                intermediates.append((i + 1, x))
+        if self.capture_layers:
+            return x, olens, intermediates
         return x, olens

@@ -86,6 +86,8 @@ class TransformerEncoder(nn.Module):
     num_layers: int = 12
     dropout_rate: float = 0.1
     subsampling_factor: int = 4
+    # 1-based layer indices whose outputs are also returned (InterCTC)
+    capture_layers: tuple = ()
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -97,12 +99,17 @@ class TransformerEncoder(nn.Module):
         x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
         mask = make_valid_mask(olens, x.shape[1])  # (B, T')
         bias = attention_bias(mask[:, None, None, :])  # (B, 1, 1, T')
+        intermediates = []
         for i in range(self.num_layers):
             x = TransformerEncoderLayer(
                 self.d_model, self.num_heads, self.d_ff, self.dropout_rate,
                 dtype=self.dtype, name=f"layer{i}",
             )(x, bias, deterministic)
+            if (i + 1) in self.capture_layers:
+                intermediates.append((i + 1, x))
         x = nn.LayerNorm(dtype=self.dtype, name="final_norm")(x)
+        if self.capture_layers:
+            return x, olens, intermediates
         return x, olens
 
 

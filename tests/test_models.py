@@ -116,3 +116,45 @@ def test_conformer_masking_invariance():
     np.testing.assert_allclose(
         np.asarray(out1)[0, :n], np.asarray(out2)[0, :n], atol=2e-5
     )
+
+
+def test_interctc_loss_mixes_into_ctc():
+    """InterCTC (`espnet2/asr/espnet_model.py:244-286`): aux CTC losses on
+    intermediate encoder layers appear in stats and change the total."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from espnet_tpu.models.asr import ASRConfig, ASRModel
+
+    kw = dict(
+        vocab_size=12, input_type="raw", n_mels=20, use_specaug=False,
+        normalize="utterance_mvn", encoder_type="conformer", d_model=16,
+        num_heads=2, d_ff=32, num_encoder_layers=3, num_decoder_layers=1,
+        decoder_d_ff=32, conformer_kernel_size=7, dropout_rate=0.0,
+    )
+    sp = jax.random.normal(jax.random.PRNGKey(0), (2, 4000))
+    sl = jnp.array([4000, 3000])
+    tx = jnp.array([[1, 2, 3, 0], [4, 5, 0, 0]], jnp.int32)
+    tl = jnp.array([3, 2])
+
+    m_inter = ASRModel(ASRConfig(
+        interctc_layer_idx=(1, 2), interctc_weight=0.5, **kw))
+    p = m_inter.init(jax.random.PRNGKey(1), sp, sl, tx, tl, True)
+    loss_i, stats = m_inter.apply(p, sp, sl, tx, tl, True)
+    assert "loss_interctc_layer1" in stats and "loss_interctc" in stats
+    assert np.isfinite(float(loss_i))
+
+    # same params, InterCTC off -> different total loss (pure function of
+    # the same pytree, so the comparison is exact)
+    m_off = ASRModel(ASRConfig(**kw))
+    loss_o, stats_o = m_off.apply(p, sp, sl, tx, tl, True)
+    assert abs(float(loss_i) - float(loss_o)) > 1e-6
+    got = (1 - 0.5) * float(stats_o["loss_ctc"]) + 0.5 * float(
+        stats["loss_interctc"])
+    want_mixed = float(stats["loss_ctc"] - 0.0)
+    # stats["loss_ctc"] is the PRE-mix final-layer loss; verify the mix rule
+    np.testing.assert_allclose(
+        float(loss_i),
+        0.3 * got + 0.7 * float(stats["loss_att"]), rtol=1e-5,
+    )
