@@ -45,6 +45,11 @@ class DiarConfig:
     subsampling_factor: int = 4
     conformer_kernel_size: int = 7
     dropout_rate: float = 0.1
+    # EDA (encoder-decoder attractor, `espnet2/diar/attractor/
+    # rnn_attractor.py` RnnAttractor): attractors replace the fixed linear
+    # decoder; attractor-existence BCE is added to the loss
+    use_attractor: bool = False
+    attractor_loss_weight: float = 1.0
     dtype: Any = jnp.float32
 
 
@@ -108,6 +113,32 @@ def diarization_error_stats(
     return res
 
 
+class RnnAttractor(nn.Module):
+    """Encoder-decoder attractor calculator
+    (`espnet2/diar/attractor/rnn_attractor.py:11`): LSTM-encode the frame
+    sequence, then unroll a decoder LSTM on zero inputs to emit one
+    attractor per (possible) speaker plus a terminator; a linear probe
+    scores attractor existence."""
+
+    unit: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, enc, num_attractors: int):
+        # enc: (B, T, D) -> attractors (B, A, D), existence logits (B, A)
+        b = enc.shape[0]
+        carry, _ = nn.RNN(
+            nn.OptimizedLSTMCell(self.unit), return_carry=True,
+            name="encoder_rnn",
+        )(enc)
+        zeros = jnp.zeros((b, num_attractors, enc.shape[-1]), enc.dtype)
+        att = nn.RNN(nn.OptimizedLSTMCell(self.unit), name="decoder_rnn")(
+            zeros, initial_carry=carry
+        )  # (B, A, unit)
+        exist = nn.Dense(1, dtype=self.dtype, name="exist")(att)[..., 0]
+        return att, exist
+
+
 class DiarizationModel(nn.Module):
     config: DiarConfig
 
@@ -124,7 +155,10 @@ class DiarizationModel(nn.Module):
             )
         else:
             self.encoder = TransformerEncoder(**enc_kw)
-        self.decoder = nn.Dense(c.num_spk, dtype=c.dtype)
+        if c.use_attractor:
+            self.attractor = RnnAttractor(c.d_model, dtype=c.dtype)
+        else:
+            self.decoder = nn.Dense(c.num_spk, dtype=c.dtype)
 
     def _frontend(self, speech, speech_lengths, deterministic):
         c = self.config
@@ -148,7 +182,18 @@ class DiarizationModel(nn.Module):
     def activity_logits(self, speech, speech_lengths,
                         deterministic: bool = True):
         enc, elens = self.encode(speech, speech_lengths, deterministic)
+        if self.config.use_attractor:
+            logits, _ = self._attractor_logits(enc)
+            return logits, elens
         return self.decoder(enc), elens
+
+    def _attractor_logits(self, enc):
+        """EDA path (`espnet2/diar/espnet_model.py` attractor branch):
+        num_spk attractors + 1 terminator; frame activity = enc . att^T."""
+        s = self.config.num_spk
+        att, exist = self.attractor(enc, s + 1)
+        logits = jnp.einsum("btd,bsd->bts", enc, att[:, :s])
+        return logits, exist
 
     def aggregate_labels(self, spk_labels, enc_frames: int):
         """Sample-level (B, N, S) 0/1 activity -> encoder-frame labels
@@ -168,13 +213,25 @@ class DiarizationModel(nn.Module):
     def __call__(self, speech, speech_lengths, spk_labels,
                  deterministic: bool = True):
         """spk_labels: (B, N_samples, S) sample-level activity."""
-        logits, elens = self.activity_logits(
-            speech, speech_lengths, deterministic
-        )
+        c = self.config
+        enc, elens = self.encode(speech, speech_lengths, deterministic)
+        attractor_loss = 0.0
+        if c.use_attractor:
+            logits, exist = self._attractor_logits(enc)
+            # existence targets: [1]*num_spk + [0] (terminator)
+            tgt = jnp.concatenate([
+                jnp.ones((enc.shape[0], c.num_spk)),
+                jnp.zeros((enc.shape[0], 1)),
+            ], axis=1)
+            attractor_loss = jnp.mean(optax_sigmoid_bce(exist, tgt))
+        else:
+            logits = self.decoder(enc)
         labels = self.aggregate_labels(spk_labels, logits.shape[1])
         loss_b, perm = pit_bce_loss(logits, labels, elens)
-        loss = jnp.mean(loss_b)
+        loss = jnp.mean(loss_b) + c.attractor_loss_weight * attractor_loss
         labels_best = jnp.take_along_axis(labels, perm[:, None, :], axis=2)
         stats = {"loss": loss}
+        if c.use_attractor:
+            stats["attractor_loss"] = attractor_loss
         stats.update(diarization_error_stats(logits, labels_best, elens))
         return loss, stats

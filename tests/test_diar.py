@@ -83,3 +83,35 @@ def test_diar_cli(tmp_path):
     ])
     assert (tmp_path / "dec" / "rttm").exists()
     assert (tmp_path / "dec" / "der.txt").exists()
+
+
+def test_model_with_eda_attractor():
+    """EDA branch (`espnet2/diar/attractor/rnn_attractor.py`): attractor
+    existence loss present, gradients reach the attractor RNNs."""
+    cfg = DiarConfig(
+        num_spk=2, input_type="raw", fs=16000, n_fft=256, hop_length=128,
+        n_mels=12, d_model=16, num_heads=2, d_ff=32, num_encoder_layers=1,
+        dropout_rate=0.0, use_attractor=True,
+    )
+    model = DiarizationModel(cfg)
+    rng = jax.random.PRNGKey(0)
+    n = 8000
+    speech = jax.random.normal(rng, (2, n)) * 0.3
+    lens = jnp.array([n, n // 2])
+    labels = (jax.random.uniform(jax.random.PRNGKey(1), (2, n, 2)) > 0.7
+              ).astype(jnp.float32)
+    params = model.init(rng, speech, lens, labels, True)
+    loss, stats = model.apply(params, speech, lens, labels, True)
+    assert np.isfinite(float(loss))
+    assert "attractor_loss" in stats and "der" in stats
+    g = jax.grad(lambda p: model.apply(p, speech, lens, labels, True)[0])(params)
+    g_att = g["params"]["attractor"]
+    mx = jax.tree_util.tree_reduce(
+        lambda a, x: jnp.maximum(a, jnp.max(jnp.abs(x))), g_att, 0.0
+    )
+    assert np.isfinite(float(mx)) and float(mx) > 0
+    # inference path produces per-frame logits of the right shape
+    logits, elens = model.apply(
+        params, speech, lens, method=DiarizationModel.activity_logits
+    )
+    assert logits.shape[-1] == 2
