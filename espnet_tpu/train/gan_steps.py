@@ -251,3 +251,109 @@ def make_vits_train_step(
         return new_state, stats
 
     return step
+
+
+def make_jets_train_step(
+    generator,
+    discriminator,
+    gen_tx: optax.GradientTransformation,
+    disc_tx: optax.GradientTransformation,
+    *,
+    hop_length: int,
+    lambda_adv: float = 1.0,
+    lambda_fm: float = 2.0,
+    lambda_mel: float = 45.0,
+    lambda_var: float = 1.0,
+    lambda_align: float = 2.0,
+    mel_fs: int = 16000,
+    mel_n_fft: int = 1024,
+    mel_bins: int = 80,
+) -> Callable:
+    """JETS joint step (`espnet2/gan_tts/jets/jets.py:42` forward routing;
+    losses per `jets/loss.py`: hifigan set + variance MSEs + forward-sum).
+    step(state, tokens, tlens, feats, flens, pitch, energy, wav, rng)."""
+    from espnet_tpu.models.tts.jets import forward_sum_loss
+    from espnet_tpu.models.tts.vits import slice_wav_segments
+
+    seg_frames = generator.config.segment_frames
+    upsample = generator.upsample_factor
+    seg_samples = seg_frames * upsample
+
+    def step(state: GANTrainState, tokens, tlens, feats, flens,
+             pitch, energy, wav, rng):
+        r1, r2 = jax.random.split(jax.random.fold_in(rng, state.step))
+        rngs = {"segment": r1, "dropout": r2}
+
+        def gen_out(gp):
+            return generator.apply(
+                {"params": gp}, tokens, tlens, feats, flens, pitch, energy,
+                False, rngs=rngs,
+            )
+
+        # ---- discriminator update ----
+        out_sg = jax.lax.stop_gradient(gen_out(state.gen_params))
+        real_seg = slice_wav_segments(
+            wav, out_sg["seg_starts"], seg_samples, hop_length
+        )
+
+        def disc_loss_fn(dp):
+            real_outs = discriminator.apply(
+                {"params": dp}, real_seg[:, :, None])
+            fake_outs = discriminator.apply(
+                {"params": dp}, out_sg["wav_seg"][:, :, None])
+            lr, lf = discriminator_adversarial_loss(real_outs, fake_outs)
+            return lr + lf, (lr, lf)
+
+        (d_loss, _), d_grads = jax.value_and_grad(
+            disc_loss_fn, has_aux=True)(state.disc_params)
+        d_updates, disc_opt = disc_tx.update(
+            d_grads, state.disc_opt, state.disc_params)
+        disc_params = optax.apply_updates(state.disc_params, d_updates)
+
+        # ---- generator update ----
+        def gen_loss_fn(gp):
+            o = gen_out(gp)
+            real = slice_wav_segments(
+                wav, o["seg_starts"], seg_samples, hop_length
+            )
+            fake_outs = discriminator.apply(
+                {"params": disc_params}, o["wav_seg"][:, :, None])
+            real_outs = discriminator.apply(
+                {"params": disc_params}, real[:, :, None])
+            adv = generator_adversarial_loss(fake_outs)
+            fm = feature_match_loss(real_outs, fake_outs)
+            mel = mel_spectrogram_loss(
+                real, o["wav_seg"], mel_fs, mel_n_fft, hop_length, mel_bins
+            )
+            tm = o["text_mask"]
+            n_tok = jnp.maximum(jnp.sum(tm), 1.0)
+            log_d_tgt = jnp.log(o["durations"] + 1.0)
+            dur = jnp.sum((o["d_pred"] - log_d_tgt) ** 2 * tm) / n_tok
+            pit = jnp.sum((o["p_pred"] - o["p_tgt"]) ** 2 * tm) / n_tok
+            ene = jnp.sum((o["e_pred"] - o["e_tgt"]) ** 2 * tm) / n_tok
+            align = forward_sum_loss(o["log_p_attn"], tlens, flens)
+            loss = (lambda_adv * adv + lambda_fm * fm + lambda_mel * mel
+                    + lambda_var * (dur + pit + ene) + lambda_align * align)
+            return loss, (adv, fm, mel, dur, pit, ene, align)
+
+        (g_loss, (adv, fm, mel, dur, pit, ene, align)), g_grads = (
+            jax.value_and_grad(gen_loss_fn, has_aux=True)(state.gen_params)
+        )
+        g_updates, gen_opt = gen_tx.update(
+            g_grads, state.gen_opt, state.gen_params)
+        gen_params = optax.apply_updates(state.gen_params, g_updates)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            gen_params=gen_params, gen_opt=gen_opt,
+            disc_params=disc_params, disc_opt=disc_opt,
+        )
+        stats = {
+            "loss": g_loss, "generator_adv_loss": adv,
+            "feat_match_loss": fm, "mel_loss": mel,
+            "duration_loss": dur, "pitch_loss": pit, "energy_loss": ene,
+            "forward_sum_loss": align, "discriminator_loss": d_loss,
+        }
+        return new_state, stats
+
+    return step
