@@ -74,7 +74,8 @@ def main(argv=None):
     toks0 = converter.tokens2ids(tokenizer.text2tokens(next(iter(texts.values()))))
     u0 = max(8, len(toks0))
     rngs = {"params": jax.random.PRNGKey(0),
-            "dropout": jax.random.PRNGKey(1)}
+            "dropout": jax.random.PRNGKey(1),
+            "diffusion": jax.random.PRNGKey(2)}
     dummy = dict(
         text=jnp.zeros((1, u0), jnp.int32),
         text_lengths=jnp.asarray([u0]),
@@ -82,7 +83,7 @@ def main(argv=None):
         speech_lengths=jnp.asarray([4 * mc.n_fft]),
     )
     kw = {}
-    if mc.tts_type == "fastspeech2":
+    if mc.tts_type in ("fastspeech2", "prodiff"):
         kw["durations"] = jnp.ones((1, u0), jnp.int32)
     target = nn.meta.unbox(
         model.init(rngs, dummy["text"], dummy["text_lengths"],
@@ -105,7 +106,9 @@ def main(argv=None):
     def synth(text, text_lengths):
         return model.apply(
             variables, text, text_lengths, args.max_frames,
-            method=TTSModel.inference, rngs={"dropout": jax.random.PRNGKey(2)},
+            method=TTSModel.inference,
+            rngs={"dropout": jax.random.PRNGKey(2),
+                  "diffusion": jax.random.PRNGKey(3)},
         )
 
     vocode = None

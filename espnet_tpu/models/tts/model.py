@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from espnet_tpu.models.asr import GlobalMVN
 from espnet_tpu.models.tts.fastspeech2 import FastSpeech2, FastSpeech2Config
 from espnet_tpu.models.tts.tacotron2 import Tacotron2, Tacotron2Config
+from espnet_tpu.models.tts.prodiff import ProDiff, ProDiffConfig
 from espnet_tpu.models.tts.transformer_tts import (
     TransformerTTS, TransformerTTSConfig,
 )
@@ -27,7 +28,7 @@ from espnet_tpu.ops.stft import log_mel_spectrogram
 
 @dataclasses.dataclass(frozen=True)
 class TTSTaskConfig:
-    tts_type: str = "tacotron2"  # tacotron2 | fastspeech2 | transformer
+    tts_type: str = "tacotron2"  # tacotron2 | fastspeech2 | transformer | prodiff
     vocab_size: int = -1
     fs: int = 16000
     n_fft: int = 1024
@@ -41,6 +42,7 @@ class TTSTaskConfig:
     tacotron2: Optional[Tacotron2Config] = None
     fastspeech2: Optional[FastSpeech2Config] = None
     transformer: Optional[TransformerTTSConfig] = None
+    prodiff: Optional[ProDiffConfig] = None
 
 
 class TTSModel(nn.Module):
@@ -54,6 +56,8 @@ class TTSModel(nn.Module):
             self.tts = FastSpeech2(c.fastspeech2)
         elif c.tts_type == "transformer":
             self.tts = TransformerTTS(c.transformer)
+        elif c.tts_type == "prodiff":
+            self.tts = ProDiff(c.prodiff)
         else:
             raise ValueError(f"unknown tts_type {c.tts_type}")
         if c.normalize == "global_mvn":
@@ -99,7 +103,8 @@ class TTSModel(nn.Module):
                                       deterministic)
         else:
             if durations is None:
-                raise ValueError("fastspeech2 training requires durations")
+                raise ValueError(
+                    f"{c.tts_type} training requires durations")
             b, u = text.shape
             z = jnp.zeros((b, u), jnp.float32)
             loss, stats, _ = self.tts(
@@ -117,5 +122,7 @@ class TTSModel(nn.Module):
             mel, lens, _ = self.tts.inference(text, text_lengths, max_frames)
             return mel, lens
         if self.config.tts_type == "transformer":
+            return self.tts.inference(text, text_lengths, max_frames)
+        if self.config.tts_type == "prodiff":
             return self.tts.inference(text, text_lengths, max_frames)
         return self.tts.inference(text, text_lengths)

@@ -24,6 +24,7 @@ from espnet_tpu.data.fileio import read_2column_text
 from espnet_tpu.data.sampler import build_batches
 from espnet_tpu.models.tts.fastspeech2 import FastSpeech2Config
 from espnet_tpu.models.tts.model import TTSModel, TTSTaskConfig
+from espnet_tpu.models.tts.prodiff import ProDiffConfig
 from espnet_tpu.models.tts.transformer_tts import TransformerTTSConfig
 from espnet_tpu.models.tts.tacotron2 import Tacotron2Config
 from espnet_tpu.tasks.abs_task import AbsTask, OptimConfig, RunConfig
@@ -62,6 +63,7 @@ class TTSModelSection:
     tacotron2: Tacotron2Config = Tacotron2Config()
     fastspeech2: FastSpeech2Config = FastSpeech2Config()
     transformer: TransformerTTSConfig = TransformerTTSConfig()
+    prodiff: ProDiffConfig = ProDiffConfig()
 
 
 class TTSDatasetWithDurations(ASRDataset):
@@ -112,6 +114,7 @@ class TTSTask(AbsTask):
             tacotron2=fix(mc.tacotron2),
             fastspeech2=fix(mc.fastspeech2),
             transformer=fix(mc.transformer),
+            prodiff=fix(mc.prodiff),
         )
         return TTSModel(cfg)
 
@@ -180,7 +183,7 @@ class TTSTask(AbsTask):
             256, opt.weight_decay, (opt.b1, opt.b2), opt.eps, opt.grad_clip,
         )
         batch_args = ["text", "text_lengths", "speech", "speech_lengths"]
-        if mc.tts_type == "fastspeech2":
+        if mc.tts_type in ("fastspeech2", "prodiff"):
             batch_args.append("durations")
         phase, key, mode = ("valid" if valid_iter else "train", "loss", "min")
         trainer = Trainer(
@@ -192,7 +195,7 @@ class TTSTask(AbsTask):
                 resume=run.resume,
             ),
             batch_arg_names=tuple(batch_args),
-            rng_names=("dropout", "specaug", "prenet"),
+            rng_names=("dropout", "specaug", "prenet", "diffusion"),
         )
         batch0 = next(train_iter.epoch(0))
         batch0.pop("keys", None)
