@@ -237,3 +237,35 @@ class EpochIterator:
                 if b is not None:
                     futures.append(pool.submit(collate, self.dataset, b, self.fields))
                 yield out
+
+
+class TSEDataset(EnhDataset):
+    """EnhDataset + enrollment wav per utterance (enroll_spk1.scp),
+    mirroring the reference TSE data layout
+    (`espnet2/train/preprocessor.py` TSEPreprocessor)."""
+
+    def __init__(self, data_dir, fs: int = 16000):
+        from pathlib import Path
+
+        super().__init__(data_dir, num_spk=1, fs=fs)
+        self.enroll = SoundScpReader(Path(data_dir) / "enroll_spk1.scp")
+
+    def __getitem__(self, key: str):
+        out = super().__getitem__(key)
+        wav, sr = self.enroll[key]
+        if sr != self.fs:
+            raise ValueError(f"{key}: enroll rate {sr} != {self.fs}")
+        out["enroll"] = wav.astype(np.float32)
+        return out
+
+    def enroll_lengths(self):
+        import wave as wave_mod
+
+        out = {}
+        for k in self.enroll.keys():
+            try:
+                with wave_mod.open(self.enroll.data[k]) as w:
+                    out[k] = w.getnframes()
+            except Exception:
+                out[k] = len(self.enroll[k][0])
+        return out

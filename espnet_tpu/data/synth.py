@@ -207,3 +207,51 @@ def generate_vc_corpus(
             w["wav.scp"][uid] = str(sp)
             w["tgt_wav.scp"][uid] = str(tp)
     return out
+
+
+def generate_tse_corpus(
+    out_dir, n_utts: int = 30, fs: int = 16000,
+    min_words: int = 2, max_words: int = 4, seed: int = 0,
+):
+    """Target-speaker-extraction corpus: wav.scp (2-spk mixture),
+    spk1.scp (target source), enroll_spk1.scp (a DIFFERENT utterance of
+    the target speaker). Layout of the reference enh_tse recipes
+    (`egs2/TEMPLATE/tse1`, `espnet2/train/preprocessor.py` TSEPreprocessor).
+
+    Speaker identity is the word duration (timbre proxy) used by
+    synth_utterance, so the enrollment carries usable speaker cues."""
+    out = Path(out_dir)
+    (out / "wav").mkdir(parents=True, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    durs = (0.30, 0.42)  # two "speakers"
+    with DatadirWriter(out) as w:
+        for i in range(n_utts):
+            uid = f"utt{i:04d}"
+            target_spk = rng.randint(2)
+            srcs = []
+            for s, dur in enumerate((durs[target_spk],
+                                     durs[1 - target_spk])):
+                nw = rng.randint(min_words, max_words + 1)
+                word_ids = rng.randint(0, len(WORDS), nw)
+                srcs.append(synth_utterance(list(word_ids), fs,
+                                            word_dur=dur, rng=rng))
+            n = max(len(x) for x in srcs)
+            srcs = [np.pad(x, (0, n - len(x))) for x in srcs]
+            mix = srcs[0] + srcs[1] + 0.005 * rng.randn(n).astype(np.float32)
+            peak = max(1e-6, np.max(np.abs(mix)))
+            scale = min(1.0, 0.95 / peak)
+            mix = (mix * scale).astype(np.float32)
+            # enrollment: another utterance of the target speaker
+            word_ids = rng.randint(0, len(WORDS), rng.randint(2, 4))
+            enroll = synth_utterance(list(word_ids), fs,
+                                     word_dur=durs[target_spk], rng=rng)
+            mpath = out / "wav" / f"{uid}_mix.wav"
+            write_wav(mpath, mix, fs)
+            w["wav.scp"][uid] = str(mpath)
+            spath = out / "wav" / f"{uid}_target.wav"
+            write_wav(spath, (srcs[0] * scale).astype(np.float32), fs)
+            w["spk1.scp"][uid] = str(spath)
+            epath = out / "wav" / f"{uid}_enroll.wav"
+            write_wav(epath, enroll.astype(np.float32), fs)
+            w["enroll_spk1.scp"][uid] = str(epath)
+    return out
