@@ -269,3 +269,57 @@ class TSEDataset(EnhDataset):
             except Exception:
                 out[k] = len(self.enroll[k][0])
         return out
+
+
+class SVSDataset:
+    """Score-based singing corpus: speech + per-note phones/midi/frames
+    (reference SVS data streams, `espnet2/svs/espnet_model.py:85`)."""
+
+    def __init__(self, data_dir, converter, fs: int = 16000):
+        from pathlib import Path
+
+        dd = Path(data_dir)
+        self.speech = SoundScpReader(dd / "wav.scp")
+        self.labels = read_2column_text(dd / "label")
+        self.midi = read_2column_text(dd / "midi")
+        self.durations = read_2column_text(dd / "durations")
+        self.converter = converter
+        self.fs = fs
+
+    def keys(self) -> List[str]:
+        return list(self.speech.keys())
+
+    def __len__(self):
+        return len(self.speech)
+
+    def __getitem__(self, key: str) -> Dict[str, np.ndarray]:
+        wav, sr = self.speech[key]
+        if sr != self.fs:
+            raise ValueError(f"{key}: rate {sr} != {self.fs}")
+        if wav.ndim > 1:
+            wav = wav[:, 0]
+        phones = self.labels[key].split()
+        return {
+            "speech": wav.astype(np.float32),
+            "text": np.asarray(self.converter.tokens2ids(phones), np.int32),
+            "midi": np.asarray([int(x) for x in self.midi[key].split()],
+                               np.int32),
+            "durations": np.asarray(
+                [int(x) for x in self.durations[key].split()], np.int32
+            ),
+        }
+
+    def speech_lengths(self) -> Dict[str, int]:
+        import wave as wave_mod
+
+        out = {}
+        for k in self.speech.keys():
+            try:
+                with wave_mod.open(self.speech.data[k]) as w:
+                    out[k] = w.getnframes()
+            except Exception:
+                out[k] = len(self.speech[k][0])
+        return out
+
+    def text_lengths(self) -> Dict[str, int]:
+        return {k: len(v.split()) for k, v in self.labels.items()}

@@ -255,3 +255,52 @@ def generate_tse_corpus(
             write_wav(epath, enroll.astype(np.float32), fs)
             w["enroll_spk1.scp"][uid] = str(epath)
     return out
+
+
+def generate_svs_corpus(
+    out_dir, n_utts: int = 20, fs: int = 16000, hop_length: int = 128,
+    min_notes: int = 3, max_notes: int = 6, seed: int = 0,
+):
+    """Score-based synthetic singing corpus: wav.scp + label (phones per
+    note) + midi (MIDI id per note) + durations (frames per note).
+
+    Layout mirrors the reference SVS data streams (label / midi /
+    duration_phn, `espnet2/svs/espnet_model.py:85`). The waveform is a
+    harmonic tone at each note's MIDI frequency so the mel target is
+    score-consistent."""
+    out = Path(out_dir)
+    (out / "wav").mkdir(parents=True, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    phones = ["a", "i", "u", "e", "o", "ka", "ki", "ku"]
+    with DatadirWriter(out) as w:
+        for i in range(n_utts):
+            uid = f"song{i:04d}"
+            n_notes = rng.randint(min_notes, max_notes + 1)
+            midis = rng.randint(60, 73, n_notes)
+            frames = rng.randint(20, 45, n_notes)
+            labels = [phones[rng.randint(len(phones))]
+                      for _ in range(n_notes)]
+            segs = []
+            for m, fr, ph in zip(midis, frames, labels):
+                n = int(fr) * hop_length
+                f0 = 440.0 * 2 ** ((m - 69) / 12.0)
+                t = np.arange(n) / fs
+                # phone identity as harmonic balance
+                h2 = 0.1 + 0.05 * (hash(ph) % 7)
+                seg = 0.4 * np.sin(2 * np.pi * f0 * t) \
+                    + h2 * np.sin(2 * np.pi * 2 * f0 * t)
+                env = np.minimum(
+                    1.0,
+                    np.minimum(np.arange(n), n - np.arange(n))
+                    / (0.01 * fs),
+                )
+                segs.append(seg * env)
+            wav = np.concatenate(segs).astype(np.float32)
+            wav += 0.005 * rng.randn(len(wav)).astype(np.float32)
+            path = out / "wav" / f"{uid}.wav"
+            write_wav(path, wav, fs)
+            w["wav.scp"][uid] = str(path)
+            w["label"][uid] = " ".join(labels)
+            w["midi"][uid] = " ".join(str(int(m)) for m in midis)
+            w["durations"][uid] = " ".join(str(int(f)) for f in frames)
+    return out
