@@ -357,3 +357,104 @@ def make_jets_train_step(
         return new_state, stats
 
     return step
+
+
+def make_visinger_train_step(
+    generator,
+    discriminator,
+    gen_tx: optax.GradientTransformation,
+    disc_tx: optax.GradientTransformation,
+    *,
+    hop_length: int,
+    upsample: int,
+    lambda_adv: float = 1.0,
+    lambda_fm: float = 2.0,
+    lambda_mel: float = 45.0,
+    lambda_kl: float = 1.0,
+    lambda_dur: float = 1.0,
+    mel_fs: int = 16000,
+    mel_n_fft: int = 1024,
+    mel_bins: int = 80,
+) -> Callable:
+    """VISinger joint step (`espnet2/gan_svs/vits/` under the GAN trainer):
+    the VITS criterion set, with the score (midi + durations) conditioning
+    the generator. step(state, tokens, midi, durations, tlens, spec,
+    slens, wav, rng)."""
+    from espnet_tpu.models.tts.vits import slice_wav_segments, vits_kl_loss
+
+    seg_frames = generator.config.vits.segment_frames
+    seg_samples = seg_frames * upsample
+
+    def step(state: GANTrainState, tokens, midi, durations, tlens,
+             spec, slens, wav, rng):
+        r1, r2, r3 = jax.random.split(jax.random.fold_in(rng, state.step), 3)
+        rngs = {"posterior": r1, "segment": r2, "dropout": r3}
+
+        def gen_out(gp):
+            return generator.apply(
+                {"params": gp}, tokens, midi, durations, tlens, spec,
+                slens, False, rngs=rngs,
+            )
+
+        out_sg = jax.lax.stop_gradient(gen_out(state.gen_params))
+        real_seg = slice_wav_segments(
+            wav, out_sg["seg_starts"], seg_samples, hop_length
+        )
+
+        def disc_loss_fn(dp):
+            real_outs = discriminator.apply(
+                {"params": dp}, real_seg[:, :, None])
+            fake_outs = discriminator.apply(
+                {"params": dp}, out_sg["wav_seg"][:, :, None])
+            lr, lf = discriminator_adversarial_loss(real_outs, fake_outs)
+            return lr + lf, (lr, lf)
+
+        (d_loss, _), d_grads = jax.value_and_grad(
+            disc_loss_fn, has_aux=True)(state.disc_params)
+        d_updates, disc_opt = disc_tx.update(
+            d_grads, state.disc_opt, state.disc_params)
+        disc_params = optax.apply_updates(state.disc_params, d_updates)
+
+        def gen_loss_fn(gp):
+            o = gen_out(gp)
+            real = slice_wav_segments(
+                wav, o["seg_starts"], seg_samples, hop_length
+            )
+            fake_outs = discriminator.apply(
+                {"params": disc_params}, o["wav_seg"][:, :, None])
+            real_outs = discriminator.apply(
+                {"params": disc_params}, real[:, :, None])
+            adv = generator_adversarial_loss(fake_outs)
+            fm = feature_match_loss(real_outs, fake_outs)
+            mel = mel_spectrogram_loss(
+                real, o["wav_seg"], mel_fs, mel_n_fft, hop_length, mel_bins
+            )
+            kl = vits_kl_loss(o["z_p"], o["m_p_exp"], o["logs_p_exp"],
+                              o["logs_q"], o["feat_mask"])
+            tmask = o["text_mask"]
+            dur = jnp.sum(
+                (o["log_dur_pred"] - o["log_dur_tgt"]) ** 2 * tmask
+            ) / jnp.maximum(jnp.sum(tmask), 1.0)
+            loss = (lambda_adv * adv + lambda_fm * fm + lambda_mel * mel
+                    + lambda_kl * kl + lambda_dur * dur)
+            return loss, (adv, fm, mel, kl, dur)
+
+        (g_loss, (adv, fm, mel, kl, dur)), g_grads = jax.value_and_grad(
+            gen_loss_fn, has_aux=True)(state.gen_params)
+        g_updates, gen_opt = gen_tx.update(
+            g_grads, state.gen_opt, state.gen_params)
+        gen_params = optax.apply_updates(state.gen_params, g_updates)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            gen_params=gen_params, gen_opt=gen_opt,
+            disc_params=disc_params, disc_opt=disc_opt,
+        )
+        stats = {
+            "loss": g_loss, "generator_adv_loss": adv,
+            "feat_match_loss": fm, "mel_loss": mel, "kl_loss": kl,
+            "duration_loss": dur, "discriminator_loss": d_loss,
+        }
+        return new_state, stats
+
+    return step
