@@ -38,6 +38,8 @@ class RunConfig:
     log_interval: int = 50
     resume: bool = True
     collect_stats: bool = True
+    # comma-separated init_param specs "path:src:dst:excludes"
+    init_param: str = ""
     ngpu_note: str = "unused — device parallelism is via jax mesh"
 
 

@@ -185,6 +185,9 @@ class ASRTask(AbsTask):
                 log_interval=run.log_interval,
                 seed=run.seed,
                 resume=run.resume,
+                init_param=tuple(
+                    s for s in run.init_param.split(",,") if s
+                ),
             ),
         )
         batch0 = next(train_iter.epoch(0))

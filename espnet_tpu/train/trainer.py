@@ -36,6 +36,9 @@ class TrainerOptions:
     log_interval: int = 50
     seed: int = 0
     resume: bool = True
+    # partial pretrained transfer specs "path:src:dst:excludes"
+    # (`espnet2/torch_utils/load_pretrained_model.py`)
+    init_param: tuple = ()
 
 
 class Trainer:
@@ -84,6 +87,10 @@ class Trainer:
             )
         )
         params = variables["params"]
+        for spec in getattr(self.options, "init_param", ()) or ():
+            from espnet_tpu.train.pretrained import load_pretrained
+
+            params, _, _ = load_pretrained(params, spec)
         extra = {k: v for k, v in variables.items() if k != "params"}
         if extra_var_init:
             extra.update(extra_var_init)
