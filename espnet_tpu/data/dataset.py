@@ -323,3 +323,68 @@ class SVSDataset:
 
     def text_lengths(self) -> Dict[str, int]:
         return {k: len(v.split()) for k, v in self.labels.items()}
+
+
+class ASRMixDataset:
+    """Mixture speech + per-speaker transcripts (text_spk<i>), the
+    multi-speaker ASR layout (`e2e_asr_mix.py`)."""
+
+    def __init__(self, data_dir, tokenizer, converter, num_spk: int = 2,
+                 fs: int = 16000):
+        from pathlib import Path
+
+        dd = Path(data_dir)
+        self.speech = SoundScpReader(dd / "wav.scp")
+        self.texts = [read_2column_text(dd / f"text_spk{i + 1}")
+                      for i in range(num_spk)]
+        self.tokenizer = tokenizer
+        self.converter = converter
+        self.num_spk = num_spk
+        self.fs = fs
+
+    def keys(self) -> List[str]:
+        return list(self.speech.keys())
+
+    def __len__(self):
+        return len(self.speech)
+
+    def __getitem__(self, key: str) -> Dict[str, np.ndarray]:
+        wav, sr = self.speech[key]
+        if sr != self.fs:
+            raise ValueError(f"{key}: rate {sr} != {self.fs}")
+        if wav.ndim > 1:
+            wav = wav[:, 0]
+        ids = [
+            np.asarray(self.converter.tokens2ids(
+                self.tokenizer.text2tokens(t[key])), np.int32)
+            for t in self.texts
+        ]
+        u = max(len(x) for x in ids)
+        # (U, S) layout: the collate pads axis 0, so tokens go first and
+        # the speaker axis is the (fixed) trailing dim
+        text = np.zeros((u, self.num_spk), np.int32)
+        tlens = np.zeros((self.num_spk,), np.int32)
+        for s, x in enumerate(ids):
+            text[: len(x), s] = x
+            tlens[s] = len(x)
+        return {"speech": wav.astype(np.float32), "text": text,
+                "text_spk_lengths": tlens}
+
+    def speech_lengths(self) -> Dict[str, int]:
+        import wave as wave_mod
+
+        out = {}
+        for k in self.speech.keys():
+            try:
+                with wave_mod.open(self.speech.data[k]) as w:
+                    out[k] = w.getnframes()
+            except Exception:
+                out[k] = len(self.speech[k][0])
+        return out
+
+    def text_lengths(self) -> Dict[str, int]:
+        return {
+            k: max(len(self.tokenizer.text2tokens(t[k]))
+                   for t in self.texts)
+            for k in self.texts[0]
+        }

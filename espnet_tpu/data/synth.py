@@ -304,3 +304,38 @@ def generate_svs_corpus(
             w["midi"][uid] = " ".join(str(int(m)) for m in midis)
             w["durations"][uid] = " ".join(str(int(f)) for f in frames)
     return out
+
+
+def generate_asr_mix_corpus(
+    out_dir, n_utts: int = 30, num_spk: int = 2, fs: int = 16000,
+    min_words: int = 2, max_words: int = 4, seed: int = 0,
+):
+    """Multi-speaker ASR corpus: wav.scp (mixture) + text_spk<i>
+    (per-speaker transcripts), the data layout of the reference mix
+    recipes (`espnet/nets/pytorch_backend/e2e_asr_mix.py` docstring)."""
+    out = Path(out_dir)
+    (out / "wav").mkdir(parents=True, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    with DatadirWriter(out) as w:
+        for i in range(n_utts):
+            uid = f"utt{i:04d}"
+            srcs, txts = [], []
+            for s in range(num_spk):
+                nw = rng.randint(min_words, max_words + 1)
+                word_ids = rng.randint(0, len(WORDS), nw)
+                srcs.append(synth_utterance(
+                    list(word_ids), fs, word_dur=0.30 + 0.12 * s, rng=rng
+                ))
+                txts.append(" ".join(WORDS[j] for j in word_ids))
+            n = max(len(x) for x in srcs)
+            srcs = [np.pad(x, (0, n - len(x))) for x in srcs]
+            mix = np.sum(srcs, axis=0) + 0.005 * rng.randn(n).astype(
+                np.float32)
+            peak = max(1e-6, np.max(np.abs(mix)))
+            mix = (mix * min(1.0, 0.95 / peak)).astype(np.float32)
+            path = out / "wav" / f"{uid}.wav"
+            write_wav(path, mix, fs)
+            w["wav.scp"][uid] = str(path)
+            for s in range(num_spk):
+                w[f"text_spk{s + 1}"][uid] = txts[s]
+    return out
