@@ -53,11 +53,19 @@ def scaled_dot_attention(
 
 
 class MultiHeadAttention(nn.Module):
-    """Standard MHA. Returns (B, Tq, D)."""
+    """Standard MHA. Returns (B, Tq, D).
+
+    For long full self-attention (no incremental cache, Tq == Tk >=
+    flash_threshold) the blocked Pallas online-softmax kernel
+    (`espnet_tpu/ops/pallas_attention.py`) is used instead of
+    materialising the (B, H, T, T) score tensor; below the threshold the
+    plain XLA einsum path is faster (one fused launch, fits VMEM anyway).
+    """
 
     num_heads: int
     d_model: int
     dtype: jnp.dtype = jnp.float32
+    flash_threshold: int = 512
 
     def setup(self):
         assert self.d_model % self.num_heads == 0
@@ -101,7 +109,18 @@ class MultiHeadAttention(nn.Module):
             valid = jnp.arange(tmax)[None, None, None, :] <= idx
             step_bias = jnp.where(valid, 0.0, jnp.finfo(jnp.float32).min)
             bias = step_bias if bias is None else bias + step_bias
-        x = scaled_dot_attention(q, k, v, bias)
+        use_flash = (
+            cache is None
+            and q.shape[2] == k.shape[2]
+            and q.shape[2] >= self.flash_threshold
+            and q.shape[3] % 8 == 0
+        )
+        if use_flash:
+            from espnet_tpu.ops.pallas_attention import flash_attention
+
+            x = flash_attention(q, k, v, bias)
+        else:
+            x = scaled_dot_attention(q, k, v, bias)
         b, h, t, dk = x.shape
         out = self.out_proj(x.transpose(0, 2, 1, 3).reshape(b, t, h * dk))
         if cache is not None:
