@@ -34,9 +34,13 @@ from espnet_tpu.ops.normalize import utterance_mvn
 @dataclasses.dataclass(frozen=True)
 class ASRConfig:
     vocab_size: int
-    # frontend
-    input_type: str = "raw"  # "raw" waveform | "feats" precomputed | "sinc"
+    # frontend: "raw" (log-mel) | "feats" precomputed | "sinc"
+    # (LightweightSincConvs) | "sliding_window" (raw frames,
+    # `espnet2/asr/frontend/windowing.py`) | "fused" (two log-mel
+    # resolutions concatenated, `espnet2/asr/frontend/fused.py`)
+    input_type: str = "raw"
     sinc_out_dim: int = 256  # LightweightSincConvs output dim
+    fused_n_fft2: int = 0    # second resolution for "fused" (0 = 2*n_fft)
     fs: int = 16000
     n_fft: int = 512
     hop_length: int = 128
@@ -278,9 +282,12 @@ class ASRModel(nn.Module):
                 name="sinc_frontend",
             )
         if c.normalize == "global_mvn":
-            self.mvn = GlobalMVN(
-                c.sinc_out_dim if c.input_type == "sinc" else c.n_mels
-            )
+            feat_dim = {
+                "sinc": c.sinc_out_dim,
+                "sliding_window": c.win_length or 400,
+                "fused": 2 * c.n_mels,
+            }.get(c.input_type, c.n_mels)
+            self.mvn = GlobalMVN(feat_dim)
 
     def _frontend(self, speech, speech_lengths, deterministic: bool):
         c = self.config
@@ -293,6 +300,31 @@ class ASRModel(nn.Module):
             feats, feat_lengths = self.sinc_frontend(
                 speech, speech_lengths, deterministic
             )
+        elif c.input_type == "sliding_window":
+            # raw-sample frames as features
+            # (`espnet2/asr/frontend/windowing.py` SlidingWindow)
+            from espnet_tpu.ops.stft import frame_signal
+
+            win = c.win_length or 400
+            feats = frame_signal(speech, win, c.hop_length, center=True)
+            feat_lengths = jnp.minimum(
+                speech_lengths // c.hop_length + 1, feats.shape[1]
+            )
+        elif c.input_type == "fused":
+            # two spectral resolutions on the same hop grid, concatenated
+            # (`espnet2/asr/frontend/fused.py` FusedFrontends)
+            n_fft2 = c.fused_n_fft2 or 2 * c.n_fft
+            f1, feat_lengths = log_mel_spectrogram(
+                speech, speech_lengths, c.fs, c.n_fft, c.hop_length,
+                c.win_length, c.n_mels,
+            )
+            f2, _ = log_mel_spectrogram(
+                speech, speech_lengths, c.fs, n_fft2, c.hop_length,
+                None, c.n_mels,
+            )
+            t = min(f1.shape[1], f2.shape[1])
+            feats = jnp.concatenate([f1[:, :t], f2[:, :t]], axis=-1)
+            feat_lengths = jnp.minimum(feat_lengths, t)
         else:
             feats, feat_lengths = speech, speech_lengths
         if c.use_specaug and not deterministic:

@@ -127,3 +127,33 @@ def test_sinc_frontend_asr_forward_backward():
     # the sinc cutoffs themselves must receive gradient
     glow = g["params"]["sinc_frontend"]["sinc"]["low_hz"]
     assert float(jnp.max(jnp.abs(glow))) > 0
+
+
+@pytest.mark.parametrize("inp", ["sliding_window", "fused"])
+def test_alternative_frontends_forward_backward(inp):
+    """SlidingWindow (`frontend/windowing.py`) and FusedFrontends
+    (`frontend/fused.py`) equivalents run and train."""
+    from espnet_tpu.models.asr import ASRConfig, ASRModel
+
+    cfg = ASRConfig(
+        vocab_size=12, input_type=inp, n_mels=20, use_specaug=False,
+        normalize="global_mvn", encoder_type="transformer", d_model=16,
+        num_heads=2, d_ff=32, num_encoder_layers=1, num_decoder_layers=1,
+        decoder_d_ff=32, dropout_rate=0.0,
+    )
+    model = ASRModel(cfg)
+    rng = jax.random.PRNGKey(0)
+    speech = jax.random.normal(rng, (2, 4000))
+    sl = jnp.array([4000, 3000])
+    text = jnp.array([[1, 2, 3, 0], [4, 5, 0, 0]], jnp.int32)
+    tl = jnp.array([3, 2])
+    params = model.init(rng, speech, sl, text, tl, True)
+    loss, _ = model.apply(params, speech, sl, text, tl, True)
+    assert np.isfinite(float(loss))
+    g = jax.grad(
+        lambda p: model.apply(p, speech, sl, text, tl, True)[0]
+    )(params)
+    mx = jax.tree_util.tree_reduce(
+        lambda a, v: jnp.maximum(a, jnp.max(jnp.abs(v))), g, 0.0
+    )
+    assert np.isfinite(float(mx)) and float(mx) > 0
