@@ -29,6 +29,11 @@ def get_parser():
     p.add_argument("--params", default=None,
                    help="params msgpack (default: best/averaged in exp_dir)")
     p.add_argument("--beam_size", type=int, default=10)
+    p.add_argument("--search", choices=["label_sync", "timesync"],
+                   default="label_sync",
+                   help="label_sync = joint CTC/attention batched beam "
+                        "search; timesync = frame-synchronous CTC prefix "
+                        "beam search (beam_search_timesync.py)")
     p.add_argument("--ctc_weight", type=float, default=0.3)
     p.add_argument("--lm_weight", type=float, default=0.0)
     p.add_argument("--lm_exp_dir", default=None)
@@ -132,14 +137,24 @@ def main(argv=None):
             NgramModel.load_arpa(args.ngram_file), converter.token_list
         )
 
-    s2t = Speech2Text(
-        model, params, extra, tokenizer, converter,
-        beam_size=args.beam_size, ctc_weight=args.ctc_weight,
-        lm_weight=args.lm_weight, lm_model=lm_model, lm_params=lm_params,
-        ngram_scorer=ngram_scorer, ngram_weight=args.ngram_weight,
-        penalty=args.penalty, maxlenratio=args.maxlenratio,
-        minlenratio=args.minlenratio, max_steps=args.max_steps,
-    )
+    if args.search == "timesync":
+        from espnet_tpu.decode.timesync import Speech2TextTimeSync
+
+        s2t = Speech2TextTimeSync(
+            model, params, extra, tokenizer, converter,
+            beam_size=args.beam_size,
+            ngram_scorer=ngram_scorer, ngram_weight=args.ngram_weight,
+        )
+    else:
+        s2t = Speech2Text(
+            model, params, extra, tokenizer, converter,
+            beam_size=args.beam_size, ctc_weight=args.ctc_weight,
+            lm_weight=args.lm_weight, lm_model=lm_model,
+            lm_params=lm_params,
+            ngram_scorer=ngram_scorer, ngram_weight=args.ngram_weight,
+            penalty=args.penalty, maxlenratio=args.maxlenratio,
+            minlenratio=args.minlenratio, max_steps=args.max_steps,
+        )
 
     hyps_text = {}
     nbest_rows = []

@@ -74,6 +74,25 @@ def test_asr_inference_cli(workspace):
     assert "# Snt 4" in content
 
 
+def test_asr_inference_timesync_cli(workspace):
+    """Frame-synchronous CTC prefix beam search through the same CLI
+    (reference `--api v1` timesync path, beam_search_timesync.py)."""
+    from espnet_tpu.bin.asr_inference import main
+
+    main([
+        "--exp_dir", str(workspace / "exp"),
+        "--data_dir", str(workspace / "data" / "test"),
+        "--output_dir", str(workspace / "decode_ts"),
+        "--search", "timesync",
+        "--beam_size", "4",
+        "--batch_size", "4",
+    ])
+    dec = workspace / "decode_ts"
+    assert (dec / "text").exists()
+    assert (dec / "score_wer.txt").exists()
+    assert len((dec / "text").read_text().strip().splitlines()) == 4
+
+
 def test_print_config(workspace, capsys):
     from espnet_tpu.bin.asr_train import main
 
