@@ -85,13 +85,22 @@ class Speech2Text:
         enc, enc_lens = model.apply(
             variables, speech, speech_lengths, method=type(model).encode
         )
+        return self._search_from_memory(enc, enc_lens)
+
+    def _search_from_memory(self, enc, enc_lens, ctc_lp=None):
+        """Beam search over precomputed encoder memory (B, T, D). Used by
+        `_decode_batch` and by the streaming wrappers
+        (`decode/streaming_v1.py`), which accumulate `enc` chunkwise."""
+        model, variables = self.model, self.variables
         b = enc.shape[0]
         w = self.cfg.beam_size
         use_ctc = self.cfg.ctc_weight > 0
-        ctc_lp = (
-            model.apply(variables, enc, method=type(model).ctc_log_probs)
-            if use_ctc else None
-        )
+        if use_ctc and ctc_lp is None:
+            ctc_lp = model.apply(
+                variables, enc, method=type(model).ctc_log_probs
+            )
+        if not use_ctc:
+            ctc_lp = None
         # tile encoder memory across beams: (B*W, T, D)
         mem = jnp.repeat(enc, w, axis=0)
         mem_lens = jnp.repeat(enc_lens, w, axis=0)

@@ -166,6 +166,15 @@ def batched_beam_search(
         if use_ctc:
             # pre-beam on the full-scorer sum (pre_beam_score_key="full")
             _, cand_ids = _topk(weighted, k)  # (B, W, K)
+            # eos must always be a candidate: the reference's full scorers
+            # cover the whole vocab every step (`beam_search.py` scores eos
+            # through the decoder even when the CTC pre-beam misses it), and
+            # the forced finish at maxlen needs it selectable. Put it in the
+            # last pre-beam slot unless already present.
+            has_eos = jnp.any(cand_ids == eos, axis=-1)
+            cand_ids = cand_ids.at[..., -1].set(
+                jnp.where(has_eos, cand_ids[..., -1], eos)
+            )
             psi, r_new, psi_eos = ctc_prefix_score(
                 s.ctc, lp_pad, enc_lengths, cand_ids, cfg.blank_id
             )
@@ -180,7 +189,12 @@ def batched_beam_search(
                 + cfg.ctc_weight * ctc_delta
             )
         else:
-            cand_scores, cand_ids = _topk(weighted, k)
+            _, cand_ids = _topk(weighted, k)
+            has_eos = jnp.any(cand_ids == eos, axis=-1)
+            cand_ids = cand_ids.at[..., -1].set(
+                jnp.where(has_eos, cand_ids[..., -1], eos)
+            )
+            cand_scores = jnp.take_along_axis(weighted, cand_ids, axis=2)
             psi = r_new = None
 
         cand_scores = cand_scores + s.score[..., None]  # (B, W, K)

@@ -198,13 +198,14 @@ class ASRModel(nn.Module):
                 subsampling_factor=c.subsampling_factor,
                 dtype=c.dtype,
             )
-        elif c.encoder_type == "vgg_blstm":
+        elif c.encoder_type in ("vgg_blstm", "vgg_lstm"):
             from espnet_tpu.models.rnn import VGGRNNEncoder
 
             self.encoder = VGGRNNEncoder(
                 d_model=c.d_model,
                 hidden=c.d_model,
                 num_layers=c.num_encoder_layers,
+                bidirectional=c.encoder_type == "vgg_blstm",
                 dropout_rate=c.dropout_rate,
                 dtype=c.dtype,
             )
@@ -347,6 +348,20 @@ class ASRModel(nn.Module):
         feats, feat_lengths = self._frontend(speech, speech_lengths, deterministic)
         out = self.encoder(feats, feat_lengths, deterministic)
         return out[0], out[1]  # drop InterCTC intermediates if any
+
+    def encode_chunk(self, speech, speech_lengths, carry):
+        """Chunk-streaming encode for the v1 window/segment wrappers
+        (`espnet/nets/pytorch_backend/streaming/{window,segment}.py`):
+        frontend + unidirectional RNN encoder resuming from `carry`.
+        Returns (enc, enc_lengths, new_carry)."""
+        if self.config.encoder_type != "vgg_lstm":
+            raise ValueError("encode_chunk needs encoder_type=vgg_lstm")
+        feats, feat_lengths = self._frontend(speech, speech_lengths, True)
+        return self.encoder(feats, feat_lengths, True, carry=carry,
+                            return_carry=True)
+
+    def encoder_carry(self, batch: int):
+        return self.encoder.init_carry(batch)
 
     def encode_with_intermediates(self, speech, speech_lengths,
                                   deterministic: bool = True):

@@ -57,11 +57,32 @@ class VGGRNNEncoder(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, feats, lengths, deterministic: bool = True):
+    def __call__(self, feats, lengths, deterministic: bool = True,
+                 carry=None, return_carry: bool = False):
+        """If `carry` is given (list of per-layer LSTM carries from
+        `init_carry` or a previous chunk) the forward RNNs resume from it —
+        the chunk-streaming path of the reference v1 encoders
+        (`rnn/encoders.py` RNNP `prev_state` threading, used by
+        `streaming/{window,segment}.py`). Requires bidirectional=False.
+        Returns (out, olens) or (out, olens, new_carry)."""
+        if carry is not None or return_carry:
+            assert not self.bidirectional, (
+                "chunk-carry streaming needs a unidirectional encoder"
+            )
         x, olens = VGG2L(self.d_model, self.dtype, name="vgg")(feats, lengths)
+        new_carry = []
         for i in range(self.num_layers):
-            fwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden),
-                         name=f"lstm{i}_fwd")(x)
+            fwd_rnn = nn.RNN(nn.OptimizedLSTMCell(self.hidden),
+                             name=f"lstm{i}_fwd")
+            if carry is not None or return_carry:
+                c_i, fwd = fwd_rnn(
+                    x,
+                    initial_carry=None if carry is None else carry[i],
+                    return_carry=True,
+                )
+                new_carry.append(c_i)
+            else:
+                fwd = fwd_rnn(x)
             if self.bidirectional:
                 bwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden), reverse=True,
                              keep_order=True, name=f"lstm{i}_bwd")(x)
@@ -73,7 +94,15 @@ class VGGRNNEncoder(nn.Module):
             )
             x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
         mask = make_valid_mask(olens, x.shape[1])[:, :, None]
-        return x * mask.astype(x.dtype), olens
+        out = x * mask.astype(x.dtype)
+        if return_carry:
+            return out, olens, new_carry
+        return out, olens
+
+    def init_carry(self, batch: int):
+        """Zero LSTM carries, one (c, h) pair per layer."""
+        z = jnp.zeros((batch, self.hidden), self.dtype)
+        return [(z, z) for _ in range(self.num_layers)]
 
 
 class LocationAwareAttention(nn.Module):
