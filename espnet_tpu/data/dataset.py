@@ -34,7 +34,10 @@ class ASRDataset:
         src_text: Optional[str] = None,
         src_tokenizer=None,
         src_converter=None,
+        multichannel: bool = False,
     ):
+        # multichannel=True keeps (N, C) wavs intact (WPE/beamformer
+        # front-end inside the ASR model); default selects channel 0
         if (wav_scp is None) == (feats_scp is None):
             raise ValueError("exactly one of wav_scp/feats_scp required")
         self.speech = SoundScpReader(wav_scp) if wav_scp else NpyScpReader(feats_scp)
@@ -47,6 +50,7 @@ class ASRDataset:
         self.src_text = read_2column_text(src_text) if src_text else None
         self.src_tokenizer = src_tokenizer or tokenizer
         self.src_converter = src_converter or converter
+        self.multichannel = multichannel
 
     def keys(self) -> List[str]:
         return list(self.speech.keys())
@@ -60,8 +64,10 @@ class ASRDataset:
             wav, sr = self.speech[key]
             if sr != self.fs:
                 raise ValueError(f"{key}: rate {sr} != {self.fs}")
-            if wav.ndim > 1:
+            if wav.ndim > 1 and not self.multichannel:
                 wav = wav[:, 0]
+            elif wav.ndim == 1 and self.multichannel:
+                wav = wav[:, None]
             out["speech"] = wav.astype(np.float32)
         else:
             out["speech"] = self.speech[key].astype(np.float32)
@@ -388,3 +394,68 @@ class ASRMixDataset:
                    for t in self.texts)
             for k in self.texts[0]
         }
+
+
+class ASRMulEncDataset:
+    """Multi-encoder ASR layout (`e2e_asr_mulenc.py`): one waveform per
+    encoder stream (wav_enc<i>.scp) + a single transcript (text). Streams
+    share the padded sample axis so the item is (N, E); per-stream true
+    lengths ride in speech_stream_lengths (E,)."""
+
+    def __init__(self, data_dir, tokenizer, converter,
+                 num_encoders: int = 2, fs: int = 16000):
+        from pathlib import Path
+
+        dd = Path(data_dir)
+        self.streams = [SoundScpReader(dd / f"wav_enc{i + 1}.scp")
+                        for i in range(num_encoders)]
+        self.text = read_2column_text(dd / "text")
+        self.tokenizer = tokenizer
+        self.converter = converter
+        self.num_encoders = num_encoders
+        self.fs = fs
+
+    def keys(self) -> List[str]:
+        return list(self.streams[0].keys())
+
+    def __len__(self):
+        return len(self.streams[0])
+
+    def __getitem__(self, key: str) -> Dict[str, np.ndarray]:
+        wavs = []
+        for rd in self.streams:
+            wav, sr = rd[key]
+            if sr != self.fs:
+                raise ValueError(f"{key}: rate {sr} != {self.fs}")
+            if wav.ndim > 1:
+                wav = wav[:, 0]
+            wavs.append(wav.astype(np.float32))
+        n = max(len(w) for w in wavs)
+        speech = np.zeros((n, self.num_encoders), np.float32)
+        slens = np.zeros((self.num_encoders,), np.int32)
+        for e, w in enumerate(wavs):
+            speech[: len(w), e] = w
+            slens[e] = len(w)
+        ids = np.asarray(self.converter.tokens2ids(
+            self.tokenizer.text2tokens(self.text[key])), np.int32)
+        return {"speech": speech, "speech_stream_lengths": slens,
+                "text": ids}
+
+    def speech_lengths(self) -> Dict[str, int]:
+        import wave as wave_mod
+
+        out = {}
+        for k in self.keys():
+            best = 0
+            for rd in self.streams:
+                try:
+                    with wave_mod.open(rd.data[k]) as w:
+                        best = max(best, w.getnframes())
+                except Exception:
+                    best = max(best, len(rd[k][0]))
+            out[k] = best
+        return out
+
+    def text_lengths(self) -> Dict[str, int]:
+        return {k: len(self.tokenizer.text2tokens(v))
+                for k, v in self.text.items()}

@@ -339,3 +339,77 @@ def generate_asr_mix_corpus(
             for s in range(num_spk):
                 w[f"text_spk{s + 1}"][uid] = txts[s]
     return out
+
+
+def generate_mulenc_corpus(
+    out_dir, n_utts: int = 30, num_encoders: int = 2, fs: int = 16000,
+    min_words: int = 2, max_words: int = 4, seed: int = 0,
+):
+    """Multi-encoder ASR corpus: wav_enc<i>.scp per input stream + text.
+
+    Stream 1 is the clean utterance; further streams are degraded copies
+    (noise + a one-pole lowpass) of the SAME utterance, emulating the
+    reference mulenc recipes' parallel microphone/feature streams
+    (`e2e_asr_mulenc.py` num_encs inputs)."""
+    out = Path(out_dir)
+    (out / "wav").mkdir(parents=True, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    with DatadirWriter(out) as w:
+        for i in range(n_utts):
+            uid = f"utt{i:04d}"
+            nw = rng.randint(min_words, max_words + 1)
+            word_ids = rng.randint(0, len(WORDS), nw)
+            clean = synth_utterance(list(word_ids), fs, rng=rng)
+            w["text"][uid] = " ".join(WORDS[j] for j in word_ids)
+            for e in range(num_encoders):
+                if e == 0:
+                    wav = clean
+                else:
+                    # degraded stream: lowpass + additive noise
+                    a = 0.5
+                    lp = np.empty_like(clean)
+                    acc = 0.0
+                    for t_i in range(len(clean)):
+                        acc = a * acc + (1 - a) * clean[t_i]
+                        lp[t_i] = acc
+                    wav = (lp + 0.02 * rng.randn(len(clean))).astype(
+                        np.float32)
+                path = out / "wav" / f"{uid}_enc{e + 1}.wav"
+                write_wav(path, wav.astype(np.float32), fs)
+                w[f"wav_enc{e + 1}.scp"][uid] = str(path)
+    return out
+
+
+def generate_multichannel_corpus(
+    out_dir, n_utts: int = 30, num_channels: int = 2, fs: int = 16000,
+    min_words: int = 2, max_words: int = 4, seed: int = 0,
+):
+    """Multichannel ASR corpus: stereo/multich wav.scp + text. Channel 0
+    is the near-field signal; further channels are delayed, attenuated,
+    reverberant copies plus noise — the setup the WPE/MVDR front-end
+    (reference `--use-frontend`) is meant to undo."""
+    out = Path(out_dir)
+    (out / "wav").mkdir(parents=True, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    with DatadirWriter(out) as w:
+        for i in range(n_utts):
+            uid = f"utt{i:04d}"
+            nw = rng.randint(min_words, max_words + 1)
+            word_ids = rng.randint(0, len(WORDS), nw)
+            clean = synth_utterance(list(word_ids), fs, rng=rng)
+            n = len(clean)
+            chans = [clean]
+            for c in range(1, num_channels):
+                d = rng.randint(8, 40)          # inter-mic delay (samples)
+                echo_d = rng.randint(300, 900)  # a single late reflection
+                x = np.zeros(n, np.float32)
+                x[d:] = 0.8 * clean[:n - d]
+                x[echo_d:] += 0.3 * clean[:n - echo_d]
+                x += 0.02 * rng.randn(n).astype(np.float32)
+                chans.append(x)
+            wav = np.stack(chans, axis=1)  # (N, C)
+            path = out / "wav" / f"{uid}.wav"
+            write_wav(path, wav, fs)
+            w["wav.scp"][uid] = str(path)
+            w["text"][uid] = " ".join(WORDS[j] for j in word_ids)
+    return out

@@ -41,6 +41,19 @@ class ASRConfig:
     input_type: str = "raw"
     sinc_out_dim: int = 256  # LightweightSincConvs output dim
     fused_n_fft2: int = 0    # second resolution for "fused" (0 = 2*n_fft)
+    # multichannel front-end (reference `--use-frontend`,
+    # `espnet/nets/pytorch_backend/frontends/frontend.py`: optional DNN-WPE
+    # dereverb + mask-MVDR beamformer between STFT and log-mel, trained
+    # jointly from the ASR loss). Active when num_channels > 1 and
+    # input_type == "raw"; speech then arrives as (B, N, C).
+    num_channels: int = 1
+    use_wpe: bool = False
+    use_beamformer: bool = True
+    wpe_taps: int = 5
+    wpe_delay: int = 3
+    ref_channel: int = 0
+    frontend_hidden: int = 128
+    frontend_layers: int = 2
     fs: int = 16000
     n_fft: int = 512
     hop_length: int = 128
@@ -273,6 +286,19 @@ class ASRModel(nn.Module):
                     nn.initializers.xavier_uniform(), ("embed", "vocab")
                 ),
             )
+        if c.num_channels > 1 and c.input_type == "raw":
+            from espnet_tpu.models.enh.beamformer import DNNWPE, DNNBeamformer
+
+            if c.use_wpe:
+                self.wpe = DNNWPE(
+                    c.wpe_taps, c.wpe_delay, c.frontend_hidden, 1,
+                    dtype=jnp.float32, name="frontend_wpe",
+                )
+            if c.use_beamformer:
+                self.beamformer = DNNBeamformer(
+                    c.frontend_hidden, c.frontend_layers, c.ref_channel,
+                    dtype=jnp.float32, name="frontend_beamformer",
+                )
         if c.input_type == "sinc":
             from espnet_tpu.models.sinc import LightweightSincConvs
 
@@ -290,9 +316,43 @@ class ASRModel(nn.Module):
             }.get(c.input_type, c.n_mels)
             self.mvn = GlobalMVN(feat_dim)
 
+    def _multichannel_frontend(self, speech, speech_lengths):
+        """(B, N, C) multichannel wave -> (log-mel (B, T, n_mels), lens):
+        STFT all channels -> optional DNN-WPE -> mask-MVDR beamformer (or
+        reference-channel select) -> power -> log-mel. Mirrors reference
+        `frontends/frontend.py:38` + `feature_transform.py` fbank."""
+        from espnet_tpu.ops.stft import (
+            log_mel, power_spectrum, stft, stft_frames_lengths,
+        )
+
+        c = self.config
+        b, n, ch = speech.shape
+        flat = speech.transpose(0, 2, 1).reshape(b * ch, n)
+        real, imag = stft(flat, c.n_fft, c.hop_length, c.win_length)
+        t, f = real.shape[1], real.shape[2]
+        y = (real + 1j * imag).reshape(b, ch, t, f).transpose(0, 3, 1, 2)
+        if c.use_wpe:
+            y, _ = self.wpe(y)  # (B, F, C, T)
+        if c.use_beamformer:
+            spec, _ = self.beamformer(y)  # (B, F, T)
+            p = (spec.real ** 2 + spec.imag ** 2).transpose(0, 2, 1)
+        else:
+            spec = y[:, :, c.ref_channel]  # (B, F, T)
+            p = (spec.real ** 2 + spec.imag ** 2).transpose(0, 2, 1)
+        feats = log_mel(p, c.fs, c.n_fft, c.n_mels)
+        feat_lengths = stft_frames_lengths(
+            speech_lengths, c.n_fft, c.hop_length
+        )
+        mask = make_valid_mask(feat_lengths, feats.shape[1])
+        return feats * mask[:, :, None].astype(feats.dtype), feat_lengths
+
     def _frontend(self, speech, speech_lengths, deterministic: bool):
         c = self.config
-        if c.input_type == "raw":
+        if c.num_channels > 1 and c.input_type == "raw":
+            feats, feat_lengths = self._multichannel_frontend(
+                speech, speech_lengths
+            )
+        elif c.input_type == "raw":
             feats, feat_lengths = log_mel_spectrogram(
                 speech, speech_lengths, c.fs, c.n_fft, c.hop_length,
                 c.win_length, c.n_mels,

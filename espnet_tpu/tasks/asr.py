@@ -43,6 +43,8 @@ class ASRDataConfig:
     text_quantum: int = 8
     num_shards: int = 1
     shard_index: int = 0
+    # keep (N, C) multichannel wavs (WPE/beamformer front-end in the model)
+    multichannel: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -94,7 +96,8 @@ class ASRTask(AbsTask):
         kw = dict(text=dd / "text", tokenizer=tokenizer, converter=converter,
                   fs=data.fs)
         if data.input_type == "raw":
-            return ASRDataset(wav_scp=dd / "wav.scp", **kw)
+            return ASRDataset(wav_scp=dd / "wav.scp",
+                              multichannel=data.multichannel, **kw)
         return ASRDataset(feats_scp=dd / "feats.scp", **kw)
 
     @classmethod
