@@ -105,18 +105,45 @@ def main() -> None:
     }
     key = jax.random.PRNGKey(1)
 
-    # warmup / compile
+    # warmup / compile.  NOTE (round-1 verdict): on the experimental 'axon'
+    # platform jax.block_until_ready returns before execution finishes, so
+    # all timing windows are closed by a forced host scalar fetch of the
+    # final step's loss — the steps chain through `state`, so fetching the
+    # last loss waits for the whole window.
     t0 = time.perf_counter()
     state, stats = train_step(state, device_batch, key)
-    jax.block_until_ready(stats["loss"])
-    _log(f"train step compiled+run in {time.perf_counter() - t0:.1f}s")
+    loss0 = float(jax.device_get(stats["loss"]))
+    _log(f"train step compiled+run in {time.perf_counter() - t0:.1f}s "
+         f"(loss={loss0:.3f})")
 
-    n_steps = 10
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state, stats = train_step(state, device_batch, key)
-    jax.block_until_ready(stats["loss"])
-    dt = time.perf_counter() - t0
+    # model FLOPs per step from the compiled HLO (fwd+bwd+update), for MFU.
+    model_flops = None
+    try:
+        cost = train_step.lower(state, device_batch, key).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        model_flops = float(cost.get("flops", 0.0)) or None
+    except Exception as e:  # pragma: no cover - platform dependent
+        _log(f"cost_analysis unavailable: {e}")
+
+    def timed_window(n):
+        t0 = time.perf_counter()
+        nonlocal state, stats
+        for _ in range(n):
+            state, stats = train_step(state, device_batch, key)
+        _ = float(jax.device_get(stats["loss"]))  # force full drain
+        return time.perf_counter() - t0
+
+    timed_window(3)  # settle clocks / caches
+    n_steps = 20
+    dt = timed_window(n_steps)
+    step_time = dt / n_steps
+
+    # bf16 peak: TPU v5e ("v5 lite") = 197 TFLOP/s; v4 = 275; v5p = 459.
+    kind = jax.devices()[0].device_kind.lower()
+    peak = 197e12 if "v5 lite" in kind or "v5e" in kind else (
+        275e12 if "v4" in kind else 459e12 if "v5p" in kind else 197e12)
+    mfu = (model_flops / step_time / peak) if model_flops else None
 
     audio_seconds = float(np.sum(batch["speech_lengths"])) / FS * n_steps
     value = audio_seconds / dt
@@ -125,10 +152,13 @@ def main() -> None:
         "value": round(value, 2),
         "unit": "audio-s/s",
         "vs_baseline": round(value / BASELINE_AUDIO_SEC_PER_S, 3),
-        "step_time_s": round(dt / n_steps, 4),
+        "step_time_s": round(step_time, 4),
+        "model_flops": model_flops,
+        "mfu": round(mfu, 4) if mfu else None,
+        "peak_flops": peak,
         "config": "conformer12x256-dec6 bf16 b32x15s",
         "device": str(jax.devices()[0]),
-        "loss": float(stats["loss"]),
+        "loss": float(jax.device_get(stats["loss"])),
     }))
 
 
