@@ -38,6 +38,9 @@ class RunConfig:
     log_interval: int = 50
     resume: bool = True
     collect_stats: bool = True
+    # micro-batch gradient accumulation inside the compiled step
+    # (reference --accum_grad, `espnet2/train/trainer.py:619-701`)
+    accum_grad: int = 1
     # comma-separated init_param specs "path:src:dst:excludes"
     init_param: str = ""
     ngpu_note: str = "unused — device parallelism is via jax mesh"

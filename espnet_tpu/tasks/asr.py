@@ -188,6 +188,7 @@ class ASRTask(AbsTask):
                 log_interval=run.log_interval,
                 seed=run.seed,
                 resume=run.resume,
+                accum_grad=run.accum_grad,
                 init_param=tuple(
                     s for s in run.init_param.split(",,") if s
                 ),

@@ -53,8 +53,18 @@ def make_train_step(
         "speech", "speech_lengths", "text", "text_lengths",
     ),
     donate: bool = True,
+    accum_steps: int = 1,
 ) -> Callable:
-    """Returns train_step(state, batch, rng) -> (state, stats)."""
+    """Returns train_step(state, batch, rng) -> (state, stats).
+
+    ``accum_steps > 1`` folds gradient accumulation into the same compiled
+    step (reference `espnet2/train/trainer.py:619-701` accum_grad): the
+    batch's leading axis is split into `accum_steps` equal micro-batches,
+    a `lax.scan` accumulates the mean of their gradients (sequentially, so
+    peak activation memory is that of one micro-batch), and one optimizer
+    update is applied. With a per-example-mean loss this is numerically the
+    gradient of the full batch, so accum=4 at B and accum=1 at B match.
+    """
 
     def loss_fn(params, extra_vars, batch, rng):
         rngs = {
@@ -68,9 +78,63 @@ def make_train_step(
         )
         return loss, stats
 
+    def compute_grads(params, extra_vars, batch, rng):
+        if accum_steps <= 1:
+            return jax.value_and_grad(loss_fn, has_aux=True)(
+                params, extra_vars, batch, rng
+            )
+        b = batch[batch_arg_names[0]].shape[0]
+        # bucketed samplers can emit batch sizes that don't divide evenly;
+        # fall back (at trace time, per compiled shape) to the largest
+        # divisor of B that is <= accum_steps — a pure memory/perf knob,
+        # never a correctness one.
+        n_micro = accum_steps
+        while b % n_micro:
+            n_micro -= 1
+        if n_micro == 1:
+            return jax.value_and_grad(loss_fn, has_aux=True)(
+                params, extra_vars, batch, rng
+            )
+        micro = {
+            k: v.reshape((n_micro, b // n_micro) + v.shape[1:])
+            for k, v in batch.items()
+        }
+
+        def body(carry, xs):
+            grads_acc, loss_acc, stats_acc = carry
+            mb, i = xs
+            (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, extra_vars, mb, jax.random.fold_in(rng, i)
+            )
+            grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
+            stats_acc = jax.tree_util.tree_map(
+                jnp.add, stats_acc,
+                {k: jnp.asarray(v, jnp.float32) for k, v in stats.items()},
+            )
+            return (grads_acc, loss_acc + loss, stats_acc), None
+
+        # trace once to get stat structure (shapes are micro-batch shapes)
+        mb0 = jax.tree_util.tree_map(lambda v: v[0], micro)
+        _, stats0 = jax.eval_shape(
+            lambda p: loss_fn(p, extra_vars, mb0, rng), params
+        )
+        zeros_g = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, p.dtype), params
+        )
+        zeros_s = {k: jnp.zeros((), jnp.float32) for k in stats0}
+        (grads, loss, stats), _ = jax.lax.scan(
+            body,
+            (zeros_g, jnp.zeros((), jnp.float32), zeros_s),
+            (micro, jnp.arange(n_micro)),
+        )
+        inv = 1.0 / n_micro
+        grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
+        stats = {k: v * inv for k, v in stats.items()}
+        return (loss * inv, stats), grads
+
     def train_step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
-        (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        (loss, stats), grads = compute_grads(
             state.params, state.extra_vars, batch, rng
         )
         gnorm = global_norm(grads)
