@@ -103,7 +103,9 @@ def main() -> None:
     device_batch = {
         k: jax.device_put(jnp.asarray(v)) for k, v in batch.items()
     }
-    key = jax.random.PRNGKey(1)
+    # rbg keys: much cheaper per random bit on TPU than threefry (the
+    # trainer uses the same impl, train/trainer.py)
+    key = jax.random.key(1, impl="rbg")
 
     # warmup / compile.  NOTE (round-1 verdict): on the experimental 'axon'
     # platform jax.block_until_ready returns before execution finishes, so

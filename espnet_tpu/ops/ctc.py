@@ -202,14 +202,16 @@ def _ctc_bwd(blank_id, residuals, g):
     v = log_probs.shape[-1]
     occ = jnp.exp(jnp.minimum(gamma, 0.0))  # clamp numeric noise
     occ = jnp.where(jnp.isfinite(gamma), occ, 0.0)
-    # scatter-add occupancy over vocab: dL/dlogp[b,t,v] = -sum_{s:ext=v} occ
-    occ_btv = jnp.zeros((b, t_max, v), log_probs.dtype)
+    # spread occupancy over vocab: dL/dlogp[b,t,v] = -sum_{s:ext=v} occ.
+    # Expressed as a one-hot matmul (B batched (T,S)x(S,V) GEMMs) instead of
+    # a scatter-add — scatters serialize on TPU while this rides the MXU
+    # (~12 GFLOP at B=32,T=468,V=5k: sub-ms vs ~10 ms scattered).
     occ_bts = occ.transpose(1, 0, 2)  # (B, T, S)
-    occ_btv = occ_btv.at[
-        jnp.arange(b)[:, None, None],
-        jnp.arange(t_max)[None, :, None],
-        ext[:, None, :],
-    ].add(occ_bts)
+    onehot = jax.nn.one_hot(ext, v, dtype=log_probs.dtype)  # (B, S, V)
+    occ_btv = jnp.einsum(
+        "bts,bsv->btv", occ_bts, onehot,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     t_mask = (jnp.arange(t_max)[None, :] < input_lengths[:, None])[:, :, None]
     grad = -occ_btv * t_mask
     grad = jnp.where(feasible[:, None, None], grad, 0.0)

