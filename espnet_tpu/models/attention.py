@@ -149,6 +149,7 @@ class RelPositionMultiHeadAttention(nn.Module):
     num_heads: int
     d_model: int
     dtype: jnp.dtype = jnp.float32
+    flash_threshold: int = 256  # min T for the Pallas rel-pos kernel (TPU)
 
     def setup(self):
         h, d = self.num_heads, self.d_model
@@ -190,8 +191,30 @@ class RelPositionMultiHeadAttention(nn.Module):
         k = self.k_proj(x).reshape(b, t, h, dk).transpose(0, 2, 1, 3)
         v = self.v_proj(x).reshape(b, t, h, dk).transpose(0, 2, 1, 3)
         p = self.pos_proj(pos_emb)  # (1, 2T-1, D)
-        p = p.reshape(1, -1, h, dk).transpose(0, 2, 1, 3)  # (1, H, 2T-1, Dk)
 
+        # The blocked Pallas kernel computes ac+bd with an in-kernel skew so
+        # no (B, H, T, 2T-1) tensor is materialised — on TPU the XLA
+        # formulation below spends ~4x the rest of attention on the bd term
+        # (fwd+bwd 80 -> 31 ms for the 12-layer bench encoder). XLA path
+        # kept for short sequences (padding waste) and non-TPU backends.
+        use_flash = (
+            t >= self.flash_threshold
+            and dk % 8 == 0
+            and bias is not None
+            and jax.default_backend() == "tpu"
+        )
+        if use_flash:
+            from espnet_tpu.ops.pallas_relpos_attention import (
+                relpos_flash_attention,
+            )
+
+            p_heads = p.reshape(-1, h, dk).transpose(1, 0, 2)  # (H, 2T-1, Dk)
+            out = relpos_flash_attention(
+                q, k, v, p_heads, self.pos_bias_u, self.pos_bias_v, bias
+            )
+            return self.out_proj(out.transpose(0, 2, 1, 3).reshape(b, t, d))
+
+        p = p.reshape(1, -1, h, dk).transpose(0, 2, 1, 3)  # (1, H, 2T-1, Dk)
         q_u = q + self.pos_bias_u.astype(q.dtype)[None, :, None, :]
         q_v = q + self.pos_bias_v.astype(q.dtype)[None, :, None, :]
         ac = jnp.einsum("bhqd,bhkd->bhqk", q_u, k)

@@ -84,7 +84,9 @@ class HiFiGANGenerator(nn.Module):
                     name=f"block{i}_{j}",
                 )(x)
             x = acc / len(self.resblock_kernel_sizes)
-        x = nn.leaky_relu(x, LRELU)
+        # reference output_conv uses torch.nn.LeakyReLU() with the DEFAULT
+        # slope 0.01, unlike the 0.1 used everywhere else (hifigan.py:116)
+        x = nn.leaky_relu(x, 0.01)
         x = nn.Conv(1, (self.kernel_size,), padding="SAME",
                     dtype=self.dtype, name="output_conv")(x)
         return nn.tanh(x)

@@ -34,7 +34,7 @@ def _inputs(b=2, h=2, t=100, d=16, seed=0):
 def test_forward_parity(t):
     (q, k, v, p, u, vb, bias), lens = _inputs(t=t)
     ref = relpos_attention_reference(q, k, v, p, u, vb, bias)
-    out = relpos_flash_attention(q, k, v, p, u, vb, bias, block=64,
+    out = relpos_flash_attention(q, k, v, p, u, vb, bias, block=None if t == 128 else 64,
                                  interpret=True)
     # compare only valid positions (masked queries are junk in both)
     for b_ in range(q.shape[0]):
