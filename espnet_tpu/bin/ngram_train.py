@@ -19,8 +19,11 @@ logger = logging.getLogger("espnet_tpu")
 def get_parser():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--data_dir", required=True)
-    p.add_argument("--exp_dir", required=True,
+    p.add_argument("--exp_dir", default=None,
                    help="ASR exp dir providing tokenizer + token list")
+    p.add_argument("--token_type", default=None,
+                   help="tokenize directly (char/word/bpe) without an exp dir")
+    p.add_argument("--bpe_model", default=None)
     p.add_argument("--output", required=True)
     p.add_argument("--order", type=int, default=3)
     p.add_argument("--add_k", type=float, default=0.1)
@@ -35,9 +38,14 @@ def main(argv=None):
     from espnet_tpu.lm.ngram import NgramModel
     from espnet_tpu.tasks.asr import ASRTask
 
-    exp = Path(args.exp_dir)
-    cfg = ASRTask.load_config(exp)
-    tokenizer = ASRTask.build_tokenizer(cfg["data"], exp)
+    if args.token_type:
+        from espnet_tpu.data.tokenizer import build_tokenizer
+
+        tokenizer = build_tokenizer(args.token_type, args.bpe_model)
+    else:
+        exp = Path(args.exp_dir)
+        cfg = ASRTask.load_config(exp)
+        tokenizer = ASRTask.build_tokenizer(cfg["data"], exp)
     texts = read_2column_text(Path(args.data_dir) / "text")
     sents = [tokenizer.text2tokens(t) for t in texts.values()]
     model = NgramModel.train(sents, order=args.order, add_k=args.add_k)

@@ -58,6 +58,14 @@ def write_shape_file(path, shapes: Dict[str, Tuple[int, ...]]) -> None:
     )
 
 
+def wav_duration(path) -> float:
+    """Duration in seconds from the WAV header (no sample decode)."""
+    import wave
+
+    with wave.open(str(path), "rb") as f:
+        return f.getnframes() / float(f.getframerate())
+
+
 def read_wav(path) -> Tuple[np.ndarray, int]:
     """Read a PCM/float WAV file -> (float32 array in [-1, 1], sample_rate).
 

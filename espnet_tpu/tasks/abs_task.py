@@ -41,6 +41,8 @@ class RunConfig:
     # micro-batch gradient accumulation inside the compiled step
     # (reference --accum_grad, `espnet2/train/trainer.py:619-701`)
     accum_grad: int = 1
+    # build tokenizer/stats then exit (recipe stage 8, asr.sh:1021)
+    stats_only: bool = False
     # comma-separated init_param specs "path:src:dst:excludes"
     init_param: str = ""
     ngpu_note: str = "unused — device parallelism is via jax mesh"

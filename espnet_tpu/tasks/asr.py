@@ -170,6 +170,9 @@ class ASRTask(AbsTask):
                     input_type=model.config.input_type,
                 )
             extra_init = {"mvn": mvn_variables(load_stats(stats_path))}
+        if run.stats_only:
+            logger.info("stats_only: stopping after collect-stats stage")
+            return None
 
         opt: OptimConfig = cfg["optim"]
         tx = build_optimizer(

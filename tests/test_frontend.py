@@ -101,3 +101,42 @@ def test_specaug_masks_something():
     assert float(jnp.sum(y == 0.0)) > 0.0
     # masked entries are exact zeros, everything else untouched
     assert bool(jnp.all((y == 0.0) | (y == 1.0)))
+
+
+def test_time_warp_identity_cases():
+    import jax
+    import jax.numpy as jnp
+    from espnet_tpu.ops.specaug import time_warp
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(3, 40, 8).astype(np.float32))
+    lens = jnp.asarray([40, 30, 10], jnp.int32)
+    key = jax.random.PRNGKey(0)
+    # window=0 => warp map is the identity
+    out0 = time_warp(key, x, lens, window=0)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(x), atol=1e-5)
+    # short utterance (10 <= 2*4+2) passes through; padding untouched
+    out = np.asarray(time_warp(key, x, lens, window=4))
+    np.testing.assert_allclose(out[2, :10], np.asarray(x)[2, :10], atol=1e-5)
+    np.testing.assert_allclose(out[1, 30:], np.asarray(x)[1, 30:], atol=1e-5)
+    assert out.shape == x.shape
+
+
+def test_time_warp_is_piecewise_monotonic_resample():
+    import jax
+    import jax.numpy as jnp
+    from espnet_tpu.ops.specaug import time_warp
+
+    # a monotonically increasing ramp stays monotonic under any warp
+    t = 64
+    ramp = jnp.broadcast_to(jnp.arange(t, dtype=jnp.float32)[None, :, None],
+                            (2, t, 4))
+    lens = jnp.asarray([64, 50], jnp.int32)
+    for seed in range(5):
+        out = np.asarray(time_warp(jax.random.PRNGKey(seed), ramp, lens, 5))
+        d = np.diff(out[0, :, 0])
+        assert (d >= -1e-4).all()
+        # endpoints fixed: frame 0 and frame L-1 map to themselves
+        assert abs(out[0, 0, 0] - 0.0) < 1e-4
+        assert abs(out[0, 63, 0] - 63.0) < 1e-4
+        assert abs(out[1, 49, 0] - 49.0) < 1e-4
