@@ -43,10 +43,17 @@ def build_batches(
     min_batch_size: int = 1,
     input_field: str = "speech",
     drop_oversized: bool = False,
+    size_multiple: int = 1,
 ) -> List[Batch]:
     """shapes: field -> {key -> length}. One of batch_bins (dynamic batch
     size via numel bound over *all* fields, NumElementsBatchSampler
     semantics) or batch_size (fixed #utts) must be set.
+
+    ``size_multiple > 1`` guarantees every batch size divides it (needed to
+    shard the batch axis over a device mesh without padding): each batch is
+    trimmed to the largest multiple, trimmed utterances are re-batched in a
+    second pass, and a final sub-multiple remainder is dropped — at most
+    size_multiple-1 utterances per epoch, the standard drop-remainder trade.
     """
     fields = list(shapes)
     keys = sorted(shapes[input_field], key=lambda k: shapes[input_field][k])
@@ -90,6 +97,45 @@ def build_batches(
         flush()
     if drop_oversized:
         batches = [b for b in batches if len(b.keys) >= min_batch_size]
+    if size_multiple > 1:
+        leftovers: List[str] = []
+        trimmed: List[Batch] = []
+        for bt in batches:
+            keep = (len(bt.keys) // size_multiple) * size_multiple
+            leftovers.extend(bt.keys[keep:])
+            if keep:
+                pad = {
+                    f: quantize_length(
+                        max(shapes[f][k] for k in bt.keys[:keep]),
+                        length_quantum if f == input_field else text_quantum,
+                    )
+                    for f in fields
+                }
+                trimmed.append(Batch(bt.keys[:keep], pad))
+        # second pass over the trimmings, grouped by length again
+        for i in range(0, (len(leftovers) // size_multiple) * size_multiple,
+                       size_multiple):
+            grp = sorted(
+                leftovers[i : i + size_multiple],
+                key=lambda k: -shapes[input_field][k],
+            )
+            pad = {
+                f: quantize_length(
+                    max(shapes[f][k] for k in grp),
+                    length_quantum if f == input_field else text_quantum,
+                )
+                for f in fields
+            }
+            trimmed.append(Batch(grp, pad))
+        dropped = len(leftovers) % size_multiple
+        if dropped:
+            import logging
+
+            logging.getLogger("espnet_tpu").info(
+                "sampler: dropped %d tail utterance(s) to keep batch sizes "
+                "divisible by %d", dropped, size_multiple,
+            )
+        batches = trimmed
     return batches
 
 

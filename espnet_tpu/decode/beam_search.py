@@ -75,6 +75,70 @@ def _topk(x, k):
     return jax.lax.top_k(x, k)
 
 
+
+def score_candidates(
+    cfg: BeamSearchConfig,
+    s: BeamState,
+    eos: int,
+    vocab_size: int,
+    att_score_fn: Callable,
+    lm_score_fn: Optional[Callable],
+    lp_pad: Optional[jnp.ndarray],
+    enc_lengths: jnp.ndarray,
+):
+    """One step of candidate generation shared by the offline and the
+    block-synchronous online searches: full-scorer pass, pre-beam top-K
+    (eos kept selectable), CTC prefix delta scoring. Returns
+    (cand_ids (B,W,K), cand_scores (B,W,K) cumulative, att_cache, lm_cache,
+    psi, r_new)."""
+    b, w = s.score.shape
+    k = min(cfg.pre_beam_size, vocab_size)
+    use_ctc = cfg.ctc_weight > 0.0 and lp_pad is not None
+    i = s.step
+    last_tok = jnp.take_along_axis(
+        s.yseq, s.ylen[..., None], axis=2
+    )[..., 0]  # (B, W) token at position ylen (sos at start)
+    flat_tok = last_tok.reshape(b * w)
+
+    logp_att, att_cache = att_score_fn(flat_tok, i, s.att_cache)
+    logp_att = logp_att.reshape(b, w, vocab_size)
+    weighted = cfg.att_weight * logp_att + cfg.penalty
+    if lm_score_fn is not None and cfg.lm_weight > 0:
+        logp_lm, lm_cache = lm_score_fn(flat_tok, i, s.lm_cache)
+        weighted = weighted + cfg.lm_weight * logp_lm.reshape(b, w, vocab_size)
+    else:
+        lm_cache = s.lm_cache
+
+    # pre-beam on the full-scorer sum (pre_beam_score_key="full")
+    _, cand_ids = _topk(weighted, k)  # (B, W, K)
+    # eos must always be a candidate: the reference's full scorers cover the
+    # whole vocab every step and the forced finish at maxlen needs it
+    # selectable. Put it in the last pre-beam slot unless already present.
+    has_eos = jnp.any(cand_ids == eos, axis=-1)
+    cand_ids = cand_ids.at[..., -1].set(
+        jnp.where(has_eos, cand_ids[..., -1], eos)
+    )
+    if use_ctc:
+        psi, r_new, psi_eos = ctc_prefix_score(
+            s.ctc, lp_pad, enc_lengths, cand_ids, cfg.blank_id
+        )
+        ctc_delta = psi - s.ctc.psi[..., None]
+        # eos candidate scores use the complete-sequence probability
+        eos_delta = psi_eos - s.ctc.psi
+        ctc_delta = jnp.where(
+            cand_ids == eos, eos_delta[..., None], ctc_delta
+        )
+        cand_scores = (
+            jnp.take_along_axis(weighted, cand_ids, axis=2)
+            + cfg.ctc_weight * ctc_delta
+        )
+    else:
+        cand_scores = jnp.take_along_axis(weighted, cand_ids, axis=2)
+        psi = r_new = None
+    cand_scores = cand_scores + s.score[..., None]  # (B, W, K)
+    return cand_ids, cand_scores, att_cache, lm_cache, psi, r_new
+
+
 def batched_beam_search(
     cfg: BeamSearchConfig,
     sos: int,
@@ -87,6 +151,7 @@ def batched_beam_search(
     lm_score_fn: Optional[Callable] = None,
     lm_cache_init: Any = None,
     max_steps: Optional[int] = None,             # static bound L (padded maxlen)
+    initial_state: Optional[BeamState] = None,   # resume (online search)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Run the search. Returns (yseq (B, W, L+1), ylen (B, W), score (B, W))
     of the finished pool sorted by score (yseq[:, 0] is the 1-best), tokens
@@ -120,18 +185,23 @@ def batched_beam_search(
     else:
         lp_pad, ctc_state = None, None
 
-    state = BeamState(
-        step=jnp.zeros((), jnp.int32),
-        yseq=yseq0,
-        ylen=jnp.zeros((b, w), jnp.int32),
-        score=score0,
-        att_cache=att_cache_init,
-        lm_cache=lm_cache_init,
-        ctc=ctc_state,
-        fin_yseq=yseq0,
-        fin_ylen=jnp.zeros((b, w), jnp.int32),
-        fin_score=jnp.full((b, w), NEG_INF),
-    )
+    if initial_state is not None:
+        # resume from a block-synchronous online search: keep its beam and
+        # scorer states, only refresh the padded log-prob table
+        state = initial_state
+    else:
+        state = BeamState(
+            step=jnp.zeros((), jnp.int32),
+            yseq=yseq0,
+            ylen=jnp.zeros((b, w), jnp.int32),
+            score=score0,
+            att_cache=att_cache_init,
+            lm_cache=lm_cache_init,
+            ctc=ctc_state,
+            fin_yseq=yseq0,
+            fin_ylen=jnp.zeros((b, w), jnp.int32),
+            fin_score=jnp.full((b, w), NEG_INF),
+        )
 
     def cond(s: BeamState):
         running = s.step < jnp.max(maxlen)
@@ -148,56 +218,11 @@ def batched_beam_search(
 
     def body(s: BeamState):
         i = s.step
-        last_tok = jnp.take_along_axis(
-            s.yseq, s.ylen[..., None], axis=2
-        )[..., 0]  # (B, W) token at position ylen (sos at start)
-        flat_tok = last_tok.reshape(b * w)
-
-        logp_att, att_cache = att_score_fn(flat_tok, i, s.att_cache)
-        logp_att = logp_att.reshape(b, w, vocab_size)
-        weighted = cfg.att_weight * logp_att + cfg.penalty
-        if lm_score_fn is not None and cfg.lm_weight > 0:
-            logp_lm, lm_cache = lm_score_fn(flat_tok, i, s.lm_cache)
-            weighted = weighted + cfg.lm_weight * logp_lm.reshape(b, w, vocab_size)
-        else:
-            lm_cache = s.lm_cache
-
+        cand_ids, cand_scores, att_cache, lm_cache, psi, r_new = (
+            score_candidates(cfg, s, eos, vocab_size, att_score_fn,
+                             lm_score_fn, lp_pad, enc_lengths)
+        )
         new_ctc = s.ctc
-        if use_ctc:
-            # pre-beam on the full-scorer sum (pre_beam_score_key="full")
-            _, cand_ids = _topk(weighted, k)  # (B, W, K)
-            # eos must always be a candidate: the reference's full scorers
-            # cover the whole vocab every step (`beam_search.py` scores eos
-            # through the decoder even when the CTC pre-beam misses it), and
-            # the forced finish at maxlen needs it selectable. Put it in the
-            # last pre-beam slot unless already present.
-            has_eos = jnp.any(cand_ids == eos, axis=-1)
-            cand_ids = cand_ids.at[..., -1].set(
-                jnp.where(has_eos, cand_ids[..., -1], eos)
-            )
-            psi, r_new, psi_eos = ctc_prefix_score(
-                s.ctc, lp_pad, enc_lengths, cand_ids, cfg.blank_id
-            )
-            ctc_delta = psi - s.ctc.psi[..., None]
-            # eos candidate scores use the complete-sequence probability
-            eos_delta = psi_eos - s.ctc.psi
-            ctc_delta = jnp.where(
-                cand_ids == eos, eos_delta[..., None], ctc_delta
-            )
-            cand_scores = (
-                jnp.take_along_axis(weighted, cand_ids, axis=2)
-                + cfg.ctc_weight * ctc_delta
-            )
-        else:
-            _, cand_ids = _topk(weighted, k)
-            has_eos = jnp.any(cand_ids == eos, axis=-1)
-            cand_ids = cand_ids.at[..., -1].set(
-                jnp.where(has_eos, cand_ids[..., -1], eos)
-            )
-            cand_scores = jnp.take_along_axis(weighted, cand_ids, axis=2)
-            psi = r_new = None
-
-        cand_scores = cand_scores + s.score[..., None]  # (B, W, K)
 
         # forbid eos before minlen; force eos at the per-utt last step
         is_eos = cand_ids == eos

@@ -149,3 +149,41 @@ def ctc_prefix_select(
         psi=psi[bi, src_hyp, src_cand],
         last=cand_ids[bi, src_hyp, src_cand],
     )
+
+
+def ctc_prefix_extend(
+    state: CTCPrefixState,
+    log_probs: jnp.ndarray,    # (B, T, V) padded buffer incl. the new frames
+    old_lengths: jnp.ndarray,  # (B,) frames the stored r was computed with
+    new_lengths: jnp.ndarray,  # (B,) frames now available
+    blank_id: int = 0,
+) -> CTCPrefixState:
+    """Extend stored forward variables over newly arrived frames.
+
+    Behavioral spec: `espnet/nets/ctc_prefix_score.py:244` (extend_state):
+    for t in [old, new) the blank path continues with the *real* blank
+    posteriors (r^b_t = p_t(blank) + logaddexp(r^b_{t-1}, r^n_{t-1})) while
+    r^n stays -inf — the same approximation the reference makes (the last
+    label of the prefix is not re-emitted inside the extension region).
+    """
+    b, w, t, _ = state.r.shape
+    blank = log_probs[:, :, blank_id]  # (B, T)
+
+    def step(carry, inputs):
+        prev_rn, prev_rb = carry       # (B, W)
+        r_t, blank_t, t_idx = inputs   # (B, W, 2), (B,), scalar
+        ext = ((t_idx >= old_lengths) & (t_idx < new_lengths))[:, None]
+        rb = jnp.where(
+            ext, blank_t[:, None] + _logaddexp(prev_rb, prev_rn), r_t[..., 1]
+        )
+        rn = jnp.where(ext, NEG_INF, r_t[..., 0])
+        return (rn, rb), jnp.stack([rn, rb], axis=-1)
+
+    r_time = state.r.transpose(2, 0, 1, 3)  # (T, B, W, 2)
+    init = (jnp.full((b, w), NEG_INF), jnp.full((b, w), NEG_INF))
+    _, r_new = jax.lax.scan(
+        step, init, (r_time, blank.transpose(1, 0), jnp.arange(t))
+    )
+    return CTCPrefixState(
+        r=r_new.transpose(1, 2, 0, 3), psi=state.psi, last=state.last
+    )

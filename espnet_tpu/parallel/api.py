@@ -52,19 +52,28 @@ def shard_state(boxed_state: TrainState, shardings: TrainState) -> TrainState:
     )
 
 
-def make_batch_put(mesh: Mesh) -> Callable[[Dict[str, np.ndarray]], Dict]:
+def make_batch_put(
+    mesh: Mesh, allow_pad: bool = False
+) -> Callable[[Dict[str, np.ndarray]], Dict]:
     """Host batch dict -> device arrays sharded over the 'data' axis.
 
-    Pads the batch to a multiple of the data-axis size if needed (bucketed
-    batches already quantize sizes; this is the final guard). Padded
-    utterances get length 0 everywhere so they contribute nothing to
-    masked losses... except CTC/attention normalisation — so we pad by
-    *repeating* real rows instead and scale is harmless for throughput
-    measurement; correctness-critical eval paths should size batches to
-    multiples of the mesh.
+    Batch sizes must divide the data-axis size — use the sampler's
+    `size_multiple` (`data/sampler.py`) to guarantee it; an indivisible
+    batch raises instead of silently repeat-padding (round-1 verdict: the
+    repeats skewed loss normalisation and gradients). `allow_pad=True`
+    restores repeat-padding for throughput-only paths and logs once.
+
+    Multi-process (multi-host) runs build the global array from each
+    process's local shard via `jax.make_array_from_process_local_data` —
+    every process passes ITS OWN batch (selected by the process-sharded
+    iterator, replacing `espnet2/tasks/abs_task.py:1566-1575`'s
+    within-batch rank split), and the concatenation over processes is the
+    global batch.
     """
     n_data = mesh.shape["data"]
     sharding = batch_sharding(mesh)
+    multi_process = jax.process_count() > 1
+    warned = []
 
     def put(batch: Dict[str, np.ndarray]) -> Dict[str, Any]:
         out = {}
@@ -74,14 +83,32 @@ def make_batch_put(mesh: Mesh) -> Callable[[Dict[str, np.ndarray]], Dict]:
                 continue
             b = len(v)
             break
-        pad = (-b) % n_data if b else 0
+        local_div = n_data // jax.process_count() if multi_process else n_data
+        pad = (-b) % max(local_div, 1) if b else 0
+        if pad and not allow_pad:
+            raise ValueError(
+                f"batch size {b} does not divide the data axis ({n_data} "
+                f"across {jax.process_count()} process(es)); build batches "
+                "with size_multiple (data/sampler.py) or pass allow_pad=True"
+            )
+        if pad and not warned:
+            warned.append(True)
+            import logging
+
+            logging.getLogger("espnet_tpu").warning(
+                "repeat-padding batch %d -> %d for the data axis; loss "
+                "normalisation includes the repeats", b, b + pad,
+            )
         for k, v in batch.items():
             if k == "keys":
                 continue
             if pad:
                 reps = v[np.arange(pad) % b]
                 v = np.concatenate([v, reps], axis=0)
-            out[k] = jax.device_put(v, sharding)
+            if multi_process:
+                out[k] = jax.make_array_from_process_local_data(sharding, v)
+            else:
+                out[k] = jax.device_put(v, sharding)
         return out
 
     return put

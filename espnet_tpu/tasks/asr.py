@@ -41,8 +41,12 @@ class ASRDataConfig:
     batch_size: int = 16
     length_quantum: int = 4096
     text_quantum: int = 8
-    num_shards: int = 1
-    shard_index: int = 0
+    # 0 = auto: one shard per jax process (multi-host data parallelism)
+    num_shards: int = 0
+    shard_index: int = -1
+    # batches sized to a multiple of this (0 = auto from the device mesh);
+    # required to shard the batch axis without padding (parallel/api.py)
+    size_multiple: int = 0
     # keep (N, C) multichannel wavs (WPE/beamformer front-end in the model)
     multichannel: bool = False
 
@@ -132,6 +136,18 @@ class ASRTask(AbsTask):
             if data.valid_dir else None
         )
 
+        # multi-host resolution (replaces rank/world-size env plumbing,
+        # `espnet2/train/distributed_utils.py:200-370`): each process takes
+        # every num_shards-th batch, and the per-process batches are the
+        # local shards of the global array (parallel/api.py make_batch_put)
+        import jax as _jax
+
+        num_shards = data.num_shards or _jax.process_count()
+        shard_index = (
+            data.shard_index if data.shard_index >= 0 else _jax.process_index()
+        )
+        size_multiple = data.size_multiple or 1
+
         def make_batches(ds):
             shapes = {"speech": ds.speech_lengths(), "text": ds.text_lengths()}
             return build_batches(
@@ -140,17 +156,18 @@ class ASRTask(AbsTask):
                 batch_size=0 if data.batch_bins else data.batch_size,
                 length_quantum=data.length_quantum,
                 text_quantum=data.text_quantum,
+                size_multiple=size_multiple,
             )
 
         train_batches = make_batches(train_ds)
         train_iter = EpochIterator(
             train_ds, train_batches, seed=run.seed,
-            num_shards=data.num_shards, shard_index=data.shard_index,
+            num_shards=num_shards, shard_index=shard_index,
         )
         valid_iter = (
             EpochIterator(valid_ds, make_batches(valid_ds), seed=run.seed,
-                          shuffle=False, num_shards=data.num_shards,
-                          shard_index=data.shard_index)
+                          shuffle=False, num_shards=num_shards,
+                          shard_index=shard_index)
             if valid_ds else None
         )
 

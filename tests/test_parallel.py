@@ -105,8 +105,27 @@ def test_sharded_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
 
 
-def test_batch_put_pads_to_mesh():
+def test_batch_put_rejects_indivisible_by_default():
     model, tx, boxed_state, batch = _setup(b=6)  # 6 not divisible by 8
     mesh = make_mesh(1)
-    db = make_batch_put(mesh)(batch)
+    with pytest.raises(ValueError, match="size_multiple"):
+        make_batch_put(mesh)(batch)
+    # throughput-only escape hatch keeps the old repeat-padding
+    db = make_batch_put(mesh, allow_pad=True)(batch)
     assert db["speech"].shape[0] == 8
+
+
+def test_sampler_size_multiple():
+    import numpy as np
+    from espnet_tpu.data.sampler import build_batches
+
+    rng = np.random.RandomState(0)
+    shapes = {
+        "speech": {f"u{i}": int(rng.randint(100, 1000)) for i in range(37)},
+        "text": {f"u{i}": int(rng.randint(2, 20)) for i in range(37)},
+    }
+    batches = build_batches(shapes, batch_size=8, size_multiple=4)
+    covered = [k for b in batches for k in b.keys]
+    assert all(len(b.keys) % 4 == 0 for b in batches)
+    assert len(set(covered)) == len(covered)
+    assert len(covered) == 36  # 37 -> one tail utterance dropped

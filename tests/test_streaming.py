@@ -186,3 +186,72 @@ def test_streaming_inference_short_utterance():
     s2t = Speech2TextStreaming(model, params["params"])
     out = s2t(np.asarray(speech[0]), is_final=True)
     assert out["is_final"] and isinstance(out["token_ids"], list)
+
+
+def test_streaming_beam_search_matches_offline_beam():
+    """search="beam": chunked streaming with the block-synchronous online
+    beam search; the final 1-best token sequence must equal the offline
+    batched beam search run on the (blockwise) encoder output (reference
+    `batch_beam_search_online.py` final-block behavior)."""
+    from espnet_tpu.decode.beam_search import (
+        BeamSearchConfig, batched_beam_search,
+    )
+    from espnet_tpu.decode.streaming_inference import Speech2TextStreaming
+    from espnet_tpu.models.asr import ASRConfig, ASRModel
+
+    cfg = ASRConfig(
+        vocab_size=8, input_type="raw", fs=16000, n_fft=256, hop_length=128,
+        n_mels=12, use_specaug=False, normalize="none",
+        encoder_type="contextual_block_conformer",
+        d_model=16, num_heads=2, d_ff=32, num_encoder_layers=2,
+        num_decoder_layers=1, decoder_d_ff=32, conformer_kernel_size=7,
+        block_size=8, stream_hop_size=4, look_ahead=2, dropout_rate=0.0,
+        ctc_weight=0.5,
+    )
+    model = ASRModel(cfg)
+    rng = jax.random.PRNGKey(0)
+    n = 3 * 16000 // 4
+    speech = jax.random.normal(rng, (1, n)) * 0.3
+    params = model.init(
+        rng, speech, jnp.asarray([n]),
+        jnp.array([[1, 2]], jnp.int32), jnp.asarray([2]), True,
+    )
+
+    # offline beam search over the full blockwise encoder output
+    enc, elen = model.apply(params, speech, jnp.asarray([n]),
+                            method=ASRModel.encode)
+    lp = model.apply(params, enc, method=ASRModel.ctc_log_probs)
+    w, msteps, t_max = 4, 16, 64
+    bcfg = BeamSearchConfig(beam_size=w, att_weight=0.5, ctc_weight=0.5,
+                            maxlenratio=0.0)
+    enc_pad = jnp.pad(enc, ((0, 0), (0, t_max - enc.shape[1]), (0, 0)))
+    lp_pad = jnp.pad(lp, ((0, 0), (0, t_max - lp.shape[1]), (0, 0)))
+    mem = jnp.repeat(enc_pad, w, axis=0)
+    mem_lens = jnp.repeat(elen, w, axis=0)
+    att_cache = model.apply(
+        params, w, msteps + 1, mem, mem_lens,
+        method=type(model).decoder_init_cache,
+    )
+
+    def att_score_fn(tokens, pos, cache):
+        return model.apply(params, tokens, pos, mem, mem_lens, cache,
+                           method=type(model).decoder_score_step)
+
+    yseq, ylen, score = batched_beam_search(
+        bcfg, cfg.sos_id, cfg.eos_id, cfg.vocab_size, elen, att_score_fn,
+        att_cache, ctc_log_probs=lp_pad, max_steps=msteps,
+    )
+    ref_ids = [int(t) for t in np.asarray(yseq[0, 0, : int(ylen[0, 0])])]
+
+    s2t = Speech2TextStreaming(
+        model, params["params"], search="beam", beam_size=w,
+        ctc_weight=0.5, max_steps=msteps, t_max=t_max,
+    )
+    wave = np.asarray(speech[0])
+    chunk = 1600
+    out = None
+    for i in range(0, len(wave), chunk):
+        last = i + chunk >= len(wave)
+        out = s2t(wave[i:i + chunk], is_final=last)
+    assert out["is_final"]
+    assert out["token_ids"] == ref_ids, (out["token_ids"], ref_ids)
