@@ -105,6 +105,10 @@ def build_tokenizer(token_type: str, model_path=None, **kw):
         return WordTokenizer(**kw)
     if token_type == "bpe":
         return BpeTokenizer(model_path)
+    if token_type == "phn":
+        from espnet_tpu.data.phoneme import PhonemeTokenizer
+
+        return PhonemeTokenizer(lexicon=model_path, **kw)
     raise ValueError(f"unknown token_type {token_type}")
 
 
