@@ -27,6 +27,8 @@ def get_parser():
     p.add_argument("--output_dir", required=True)
     p.add_argument("--params", default=None)
     p.add_argument("--beam_size", type=int, default=5)
+    p.add_argument("--search", choices=["maes", "alsd", "greedy"],
+                   default="maes")
     p.add_argument("--max_expansions", type=int, default=3)
     p.add_argument("--max_tokens", type=int, default=256)
     p.add_argument("--score_norm", default="true")
@@ -91,6 +93,7 @@ def main(argv=None):
     s2t = Speech2TextTransducer(
         model, params, extra, tokenizer, converter,
         beam_size=args.beam_size, max_expansions=args.max_expansions,
+        search=args.search,
         max_tokens=args.max_tokens,
         score_norm=str(args.score_norm).lower() != "false",
     )

@@ -30,6 +30,7 @@ class Speech2TextTransducer:
         max_expansions: int = 3,
         max_tokens: int = 256,
         score_norm: bool = True,
+        search: str = "maes",   # maes | alsd | greedy
     ):
         self.model = model
         self.variables = {"params": params, **(extra_vars or {})}
@@ -39,6 +40,7 @@ class Speech2TextTransducer:
         self.max_expansions = max_expansions
         self.max_tokens = max_tokens
         self.score_norm = score_norm
+        self.search = "greedy" if beam_size <= 1 else search
         self._decode_jit = jax.jit(self._decode_batch)
 
     def _decode_batch(self, speech, speech_lengths):
@@ -47,12 +49,18 @@ class Speech2TextTransducer:
             self.variables, speech, speech_lengths,
             method=TransducerASRModel.encode,
         )
-        if self.beam_size <= 1:
+        if self.search == "greedy":
             toks, lens = model.apply(
                 self.variables, enc, elen, self.max_tokens,
                 method=TransducerASRModel.greedy_search,
             )
             return toks, lens, jnp.zeros((enc.shape[0],), jnp.float32)
+        if self.search == "alsd":
+            return model.apply(
+                self.variables, enc, elen, self.beam_size, self.max_tokens,
+                50, self.score_norm,
+                method=TransducerASRModel.alsd_search,
+            )
         return model.apply(
             self.variables, enc, elen, self.beam_size, self.max_expansions,
             self.max_tokens, self.score_norm,

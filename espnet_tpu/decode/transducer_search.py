@@ -251,3 +251,158 @@ def transducer_beam_search_numpy(
         lambda h: h["score"])
     best = max(hyps, key=key)
     return best["yseq"], key(best)
+
+
+# ---------------------------------------------------------------------------
+# ALSD: alignment-length synchronous decoding (Saon et al., 2020)
+
+
+def batched_transducer_alsd(
+    enc: jnp.ndarray,            # (B, T, De)
+    enc_lengths: jnp.ndarray,    # (B,)
+    *,
+    joint_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    dec_init: Callable[[int], Tuple[jnp.ndarray, Any]],
+    dec_step: Callable[[Any, jnp.ndarray], Tuple[jnp.ndarray, Any]],
+    config: TransducerSearchConfig = TransducerSearchConfig(),
+    u_max: int = 50,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Alignment-length-synchronous transducer beam search.
+
+    Behavioral spec: reference `align_length_sync_decoding`
+    (`espnet/nets/pytorch_backend/transducer/beam_search_transducer.py` /
+    v2 `beam_search_transducer.py:98-147` "alsd"): hypotheses advance in
+    lockstep over the *alignment* length i = t + u; each step every alive
+    hypothesis (at frame t = i - |y|) either consumes a blank (advancing in
+    time; finishing when t is the last frame) or emits one of its top
+    labels (staying at i+1 with t unchanged). Unlike the reference this
+    batched program keeps a fixed W-slab per step and skips the final
+    prefix-recombination (`recombine_hyps`) — candidate merging happens
+    implicitly through the top-W cut.
+
+    Same callback contract as `batched_transducer_beam_search`.
+    Returns (tokens (B, max_tokens), lengths (B,), scores (B,)).
+    """
+    c = config
+    b, t_max, de = enc.shape
+    w = c.beam_size
+    lmax = c.max_tokens
+    n_steps = t_max + min(u_max, lmax)
+
+    dec_out0, dec_state0 = dec_init(b * w)
+    h = dec_out0.shape[-1]
+    dec_out0 = dec_out0.reshape(b, w, h)
+    dec_state0 = jax.tree_util.tree_map(
+        lambda x: x.reshape(b, w, *x.shape[1:]), dec_state0
+    )
+
+    class _S(NamedTuple):
+        yseq: jnp.ndarray
+        ylen: jnp.ndarray
+        score: jnp.ndarray
+        dec_out: jnp.ndarray
+        dec_state: Any
+        fin_yseq: jnp.ndarray
+        fin_ylen: jnp.ndarray
+        fin_score: jnp.ndarray
+
+    s0 = _S(
+        yseq=jnp.zeros((b, w, lmax), jnp.int32),
+        ylen=jnp.zeros((b, w), jnp.int32),
+        score=jnp.tile(
+            jnp.where(jnp.arange(w) == 0, 0.0, NEG_INF)[None, :], (b, 1)
+        ).astype(jnp.float32),
+        dec_out=dec_out0,
+        dec_state=dec_state0,
+        fin_yseq=jnp.zeros((b, w, lmax), jnp.int32),
+        fin_ylen=jnp.zeros((b, w), jnp.int32),
+        fin_score=jnp.full((b, w), NEG_INF),
+    )
+
+    def step(s: _S, i):
+        t_h = i - s.ylen                                  # (B, W)
+        alive = (t_h < enc_lengths[:, None]) & (s.score > NEG_INF / 2)
+        t_c = jnp.clip(t_h, 0, t_max - 1)
+        enc_th = jnp.take_along_axis(
+            enc[:, None].repeat(w, 1), t_c[..., None, None].repeat(de, -1),
+            axis=2,
+        )[:, :, 0]                                        # (B, W, De)
+        logits = joint_fn(
+            enc_th.reshape(b * w, de), s.dec_out.reshape(b * w, h)
+        ).reshape(b, w, -1)
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        v = lp.shape[-1]
+
+        # blank: advance in time; if t is the last frame the hyp finishes
+        blank_sc = jnp.where(alive, s.score + lp[..., c.blank_id], NEG_INF)
+        is_last = t_h == (enc_lengths[:, None] - 1)
+        fin_cand = jnp.where(is_last, blank_sc, NEG_INF)
+        blank_alive = jnp.where(is_last, NEG_INF, blank_sc)
+
+        # merge finishing candidates into the finished pool
+        all_fin = jnp.concatenate([s.fin_score, fin_cand], axis=1)
+        all_yseq = jnp.concatenate([s.fin_yseq, s.yseq], axis=1)
+        all_ylen = jnp.concatenate([s.fin_ylen, s.ylen], axis=1)
+        fin_sc, fin_ix = jax.lax.top_k(all_fin, w)
+        bi = jnp.arange(b)[:, None]
+        fin_yseq = all_yseq[bi, fin_ix]
+        fin_ylen = all_ylen[bi, fin_ix]
+
+        # labels: emit, stay at frame t (i+1 keeps t_h constant)
+        lab_lp = lp.at[..., c.blank_id].set(NEG_INF)
+        lab_sc = jnp.where(
+            alive[..., None] & (s.ylen < lmax)[..., None],
+            s.score[..., None] + lab_lp, NEG_INF,
+        )                                                 # (B, W, V)
+
+        # candidate pool: W blanks + W*V labels -> top W
+        pool = jnp.concatenate(
+            [blank_alive[..., None], lab_sc], axis=-1
+        ).reshape(b, w * (v + 1))
+        top_sc, top_ix = jax.lax.top_k(pool, w)
+        src = (top_ix // (v + 1)).astype(jnp.int32)
+        slot = top_ix % (v + 1)
+        is_blank = slot == 0
+        tok = jnp.maximum(slot - 1, 0).astype(jnp.int32)
+
+        yseq = _select(s.yseq, src)
+        ylen = _select(s.ylen, src)
+        emit = (~is_blank) & (top_sc > NEG_INF / 2)
+        yseq = jnp.where(
+            (jnp.arange(lmax)[None, None, :] == ylen[..., None])
+            & emit[..., None],
+            tok[..., None], yseq,
+        )
+        ylen = ylen + emit.astype(jnp.int32)
+
+        sel_out = _select(s.dec_out, src)
+        sel_state = jax.tree_util.tree_map(
+            lambda x: _select(x, src), s.dec_state
+        )
+        flat_state = jax.tree_util.tree_map(
+            lambda x: x.reshape(b * w, *x.shape[2:]), sel_state
+        )
+        new_out, new_state = dec_step(flat_state, tok.reshape(b * w))
+        new_out = new_out.reshape(b, w, h)
+        new_state = jax.tree_util.tree_map(
+            lambda x: x.reshape(b, w, *x.shape[1:]), new_state
+        )
+        # blank-extended hyps keep their prediction-net state
+        dec_out = jnp.where(emit[..., None], new_out, sel_out)
+        dec_state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(
+                emit.reshape((b, w) + (1,) * (new.ndim - 2)), new, old
+            ),
+            new_state, sel_state,
+        )
+        return _S(yseq, ylen, top_sc, dec_out, dec_state,
+                  fin_yseq, fin_ylen, fin_sc), None
+
+    final, _ = jax.lax.scan(step, s0, jnp.arange(n_steps))
+    score = final.fin_score
+    if c.score_norm:
+        score = score / jnp.maximum(final.fin_ylen, 1)
+    best = jnp.argmax(score, axis=1)
+    bi = jnp.arange(b)
+    return (final.fin_yseq[bi, best], final.fin_ylen[bi, best],
+            score[bi, best])

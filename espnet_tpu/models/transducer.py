@@ -52,6 +52,14 @@ class TransducerConfig:
     joint_dim: int = 320
     dropout_rate: float = 0.1
     ctc_weight: float = 0.0  # aux CTC on encoder
+    # auxiliary task losses (`transducer/transducer_tasks.py:1`):
+    # aux transducer loss on intermediate encoder layers (+ optional
+    # symmetric KL between main and aux joint posteriors) and a next-label
+    # LM loss on the prediction network output
+    aux_transducer_weight: float = 0.0
+    symm_kl_weight: float = 0.0
+    lm_loss_weight: float = 0.0
+    aux_layers: tuple = ()   # 1-based encoder layer indices
     dtype: Any = jnp.float32
 
     @property
@@ -134,12 +142,14 @@ class TransducerASRModel(nn.Module):
             num_layers=c.num_encoder_layers, dropout_rate=c.dropout_rate,
             subsampling_factor=c.subsampling_factor, dtype=c.dtype,
         )
+        capture = tuple(c.aux_layers) if c.aux_transducer_weight > 0 else ()
         if c.encoder_type == "conformer":
             self.encoder = ConformerEncoder(
-                kernel_size=c.conformer_kernel_size, **enc_kw
+                kernel_size=c.conformer_kernel_size, capture_layers=capture,
+                **enc_kw
             )
         else:
-            self.encoder = TransformerEncoder(**enc_kw)
+            self.encoder = TransformerEncoder(capture_layers=capture, **enc_kw)
         self.decoder = PredictionNetwork(
             c.vocab_size, c.decoder_embed_dim, c.decoder_hidden,
             c.decoder_layers, c.dropout_rate, c.dtype,
@@ -147,6 +157,12 @@ class TransducerASRModel(nn.Module):
         self.joint = JointNetwork(c.vocab_size, c.joint_dim, c.dtype)
         if c.ctc_weight > 0:
             self.ctc_head = nn.Dense(c.vocab_size, dtype=c.dtype)
+        if c.aux_transducer_weight > 0:
+            # reference `transducer_tasks.py` mlp projecting aux encoder
+            # outputs into the joint's encoder space
+            self.aux_mlp = nn.Dense(c.d_model, dtype=c.dtype)
+        if c.lm_loss_weight > 0:
+            self.lm_head = nn.Dense(c.vocab_size, dtype=c.dtype)
 
     def _frontend(self, speech, speech_lengths, deterministic):
         c = self.config
@@ -169,12 +185,25 @@ class TransducerASRModel(nn.Module):
 
     def encode(self, speech, speech_lengths, deterministic: bool = True):
         feats, lens = self._frontend(speech, speech_lengths, deterministic)
-        return self.encoder(feats, lens, deterministic)
+        out = self.encoder(feats, lens, deterministic)
+        if len(out) == 3:
+            return out[0], out[1]
+        return out
+
+    def encode_with_intermediates(self, speech, speech_lengths,
+                                  deterministic: bool = True):
+        feats, lens = self._frontend(speech, speech_lengths, deterministic)
+        out = self.encoder(feats, lens, deterministic)
+        if len(out) == 3:
+            return out
+        return out[0], out[1], []
 
     def __call__(self, speech, speech_lengths, text, text_lengths,
                  deterministic: bool = True):
         c = self.config
-        enc, enc_lengths = self.encode(speech, speech_lengths, deterministic)
+        enc, enc_lengths, inters = self.encode_with_intermediates(
+            speech, speech_lengths, deterministic
+        )
         dec = self.decoder(text, deterministic)  # (B, U+1, H)
         logits = self.joint(enc[:, :, None, :], dec[:, None, :, :])
         loss_rnnt = transducer_loss(
@@ -187,6 +216,62 @@ class TransducerASRModel(nn.Module):
                                 text_lengths, c.blank_id)
             stats["loss_ctc"] = loss_ctc
             loss = (1 - c.ctc_weight) * loss + c.ctc_weight * loss_ctc
+        if c.aux_transducer_weight > 0 and inters:
+            # aux transducer + symmetric KL on intermediate encoder layers
+            # (`transducer_tasks.py:203-286`); the joint network is frozen
+            # for the aux pass (grads flow to aux_mlp + encoder only),
+            # mirroring requires_grad=False around the aux joint call
+            frozen_joint = jax.tree_util.tree_map(
+                jax.lax.stop_gradient, self.joint.variables["params"]
+            )
+            b = enc.shape[0]
+            loss_aux = 0.0
+            loss_kl = 0.0
+            for _, h_aux in inters:
+                aux_in = self.aux_mlp(h_aux)
+                aux_logits = self.joint.apply(
+                    {"params": frozen_joint},
+                    aux_in[:, :, None, :], dec[:, None, :, :],
+                )
+                loss_aux = loss_aux + transducer_loss(
+                    aux_logits, text, enc_lengths, text_lengths, c.blank_id
+                )
+                if c.symm_kl_weight > 0:
+                    p_main = jax.nn.log_softmax(
+                        logits.astype(jnp.float32), axis=-1
+                    )
+                    p_aux = jax.nn.log_softmax(
+                        aux_logits.astype(jnp.float32), axis=-1
+                    )
+                    denom = float(np.prod(logits.shape[:3]))
+                    kl_ma = jnp.sum(
+                        jnp.exp(p_aux) * (p_aux - p_main)
+                    ) / denom
+                    kl_am = jnp.sum(
+                        jnp.exp(p_main) * (p_main - p_aux)
+                    ) / denom
+                    loss_kl = loss_kl + kl_ma + kl_am
+            loss_aux = loss_aux / len(inters)
+            stats["loss_aux_trans"] = loss_aux
+            loss = loss + c.aux_transducer_weight * loss_aux
+            if c.symm_kl_weight > 0:
+                loss_kl = loss_kl / len(inters)
+                stats["loss_symm_kl"] = loss_kl
+                loss = loss + c.symm_kl_weight * loss_kl
+        if c.lm_loss_weight > 0:
+            # next-label prediction CE on the prediction-net output
+            # (`transducer_tasks.py:286-307`): dec[:, u] predicts text[:, u]
+            lm_logits = self.lm_head(dec[:, :-1])  # (B, U, V)
+            lp = jax.nn.log_softmax(lm_logits.astype(jnp.float32), axis=-1)
+            tgt = jax.nn.one_hot(text, c.vocab_size)
+            valid = (
+                jnp.arange(text.shape[1])[None, :] < text_lengths[:, None]
+            ).astype(jnp.float32)
+            ce = -jnp.sum(jnp.sum(lp * tgt, -1) * valid) / jnp.maximum(
+                jnp.sum(valid), 1.0
+            )
+            stats["loss_lm"] = ce
+            loss = loss + c.lm_loss_weight * ce
         stats["loss"] = loss
         return loss, stats
 
@@ -274,4 +359,33 @@ class TransducerASRModel(nn.Module):
                 blank_id=c.blank_id, max_tokens=max_tokens,
                 score_norm=score_norm,
             ),
+        )
+
+    def alsd_search(self, enc, enc_lengths, beam_size: int = 5,
+                    max_tokens: int = 256, u_max: int = 50,
+                    score_norm: bool = True):
+        """Batched ALSD search (`beam_search_transducer.py` "alsd" mode;
+        see decode/transducer_search.py batched_transducer_alsd)."""
+        from espnet_tpu.decode.transducer_search import (
+            TransducerSearchConfig, batched_transducer_alsd,
+        )
+
+        c = self.config
+
+        def dec_init(n):
+            st = self.decoder.init_state(n)
+            return self.decoder.step(
+                st, jnp.full((n,), c.blank_id, jnp.int32)
+            )
+
+        return batched_transducer_alsd(
+            enc, enc_lengths,
+            joint_fn=lambda e, d: self.joint(e, d),
+            dec_init=dec_init,
+            dec_step=lambda st, tok: self.decoder.step(st, tok),
+            config=TransducerSearchConfig(
+                beam_size=beam_size, blank_id=c.blank_id,
+                max_tokens=max_tokens, score_norm=score_norm,
+            ),
+            u_max=u_max,
         )

@@ -65,3 +65,38 @@ def test_transducer_inference_cli(workspace, beam_size):
     ])
     assert (outdir / "text").exists()
     assert (outdir / "score_wer.txt").exists()
+
+
+def test_transducer_inference_alsd(tmp_path):
+    """ALSD search through the Speech2TextTransducer front-end produces a
+    plausible decode (same interface as maes; `--search alsd`)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from espnet_tpu.decode.transducer_inference import Speech2TextTransducer
+    from espnet_tpu.models.transducer import TransducerASRModel, TransducerConfig
+
+    cfg = TransducerConfig(
+        vocab_size=10, input_type="feats", n_mels=8, use_specaug=False,
+        encoder_type="transformer", d_model=16, num_heads=2, d_ff=32,
+        num_encoder_layers=1, decoder_embed_dim=16, decoder_hidden=16,
+        joint_dim=16, dropout_rate=0.0,
+    )
+    model = TransducerASRModel(cfg)
+    rng = np.random.RandomState(0)
+    speech = rng.randn(2, 40, 8).astype(np.float32)
+    lens = np.full((2,), 40, np.int32)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(speech), jnp.asarray(lens),
+        jnp.asarray(rng.randint(1, 9, (2, 4)), jnp.int32),
+        jnp.full((2,), 4, jnp.int32), True,
+    )
+    s2t = Speech2TextTransducer(
+        model, variables["params"], beam_size=3, max_tokens=16,
+        search="alsd",
+    )
+    out = s2t(speech, lens)
+    assert len(out) == 2
+    for r in out:
+        assert isinstance(r.token_ids, list)

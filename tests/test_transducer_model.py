@@ -128,3 +128,65 @@ def test_transducer_learns_tiny_mapping():
     ref = [labels[i].tolist() for i in range(b)]
     correct = sum(h == r for h, r in zip(hyp, ref))
     assert correct >= 3, (hyp, ref)
+
+
+def test_aux_losses_and_frozen_joint():
+    """Aux transducer + symm-KL + LM losses (reference
+    `transducer/transducer_tasks.py`): finite, change the total loss, and
+    the aux transducer loss contributes NO gradient to the joint network
+    (requires_grad=False parity)."""
+    import jax
+    import jax.numpy as jnp
+
+    from espnet_tpu.models.transducer import TransducerASRModel, TransducerConfig
+
+    def build(aux_w, kl_w, lm_w):
+        cfg = TransducerConfig(
+            vocab_size=12, input_type="feats", n_mels=8, use_specaug=False,
+            normalize="utterance_mvn", encoder_type="transformer",
+            d_model=16, num_heads=2, d_ff=32, num_encoder_layers=2,
+            decoder_embed_dim=16, decoder_hidden=16, joint_dim=16,
+            dropout_rate=0.0, aux_transducer_weight=aux_w,
+            symm_kl_weight=kl_w, lm_loss_weight=lm_w, aux_layers=(1,),
+        )
+        return TransducerASRModel(cfg)
+
+    rng = np.random.RandomState(0)
+    b = 2
+    batch = (
+        jnp.asarray(rng.randn(b, 40, 8).astype(np.float32)),
+        jnp.full((b,), 40, jnp.int32),
+        jnp.asarray(rng.randint(1, 11, (b, 5)).astype(np.int32)),
+        jnp.full((b,), 5, jnp.int32),
+    )
+    model = build(0.3, 0.1, 0.2)
+    variables = model.init(jax.random.PRNGKey(0), *batch, True)
+    loss, stats = model.apply(variables, *batch, True)
+    assert np.isfinite(float(loss))
+    for k in ("loss_aux_trans", "loss_symm_kl", "loss_lm", "loss_rnnt"):
+        assert k in stats and np.isfinite(float(stats[k])), k
+
+    # frozen joint: with symm-KL off, enabling the aux transducer loss must
+    # not change the joint network's gradient
+    model_aux = build(0.5, 0.0, 0.0)
+    model_plain = build(0.0, 0.0, 0.0)
+    v_aux = model_aux.init(jax.random.PRNGKey(0), *batch, True)
+
+    def grads(model, params):
+        def f(p):
+            loss, _ = model.apply({"params": p}, *batch, True)
+            return loss
+        return jax.grad(f)(params)
+
+    # plain model lacks aux params; evaluate both on the aux model's params
+    g_aux = grads(model_aux, v_aux["params"])
+    p_plain = {k: v for k, v in v_aux["params"].items() if k != "aux_mlp"}
+    g_plain = grads(model_plain, p_plain)
+    for name in ("lin_enc", "lin_dec", "lin_out"):
+        np.testing.assert_allclose(
+            np.asarray(g_aux["joint"][name]["kernel"]),
+            np.asarray(g_plain["joint"][name]["kernel"]),
+            rtol=1e-5, atol=1e-6,
+        )
+    # ...while the aux_mlp does receive gradient
+    assert float(jnp.max(jnp.abs(g_aux["aux_mlp"]["kernel"]))) > 0
