@@ -23,6 +23,7 @@ from espnet_tpu.models.enh.layers import (
     ConvDecoder, ConvEncoder, STFTDecoder, STFTEncoder,
 )
 from espnet_tpu.models.enh.separators import (
+    DANSeparator, RNNSeparator,
     ConformerSeparator, DPRNNSeparator, DPTNetSeparator, SkiMSeparator,
     TCNSeparator, TransformerSeparator,
 )
@@ -41,7 +42,8 @@ class EnhConfig:
     n_fft: int = 512
     hop_length: int = 128
     # separator
-    separator_type: str = "tcn"  # tcn | dprnn | transformer | dptnet | skim | conformer
+    separator_type: str = "tcn"  # tcn | dprnn | transformer | dptnet |
+                                 # skim | conformer | rnn | dan
     tcn_layers: int = 8
     tcn_stacks: int = 3
     tcn_bottleneck: int = 128
@@ -50,6 +52,9 @@ class EnhConfig:
     dprnn_blocks: int = 6
     dprnn_hidden: int = 128
     dprnn_chunk: int = 100
+    rnn_layers: int = 3
+    rnn_hidden: int = 256
+    dan_emb_dim: int = 20
     trans_d_model: int = 256
     trans_heads: int = 4
     trans_d_ff: int = 1024
@@ -141,6 +146,16 @@ class EnhancementModel(nn.Module):
                 feat_dim, c.num_spk, c.trans_d_model, c.trans_heads,
                 c.trans_d_ff, c.trans_layers, c.conformer_kernel,
                 c.dropout_rate, c.nonlinear, c.dtype, name="separator",
+            )
+        elif c.separator_type == "rnn":
+            self.separator = RNNSeparator(
+                feat_dim, c.num_spk, c.rnn_layers, c.rnn_hidden,
+                nonlinear=c.nonlinear, dtype=c.dtype, name="separator",
+            )
+        elif c.separator_type == "dan":
+            self.separator = DANSeparator(
+                feat_dim, c.num_spk, c.rnn_layers, c.rnn_hidden,
+                c.dan_emb_dim, c.dtype, name="separator",
             )
         else:
             raise ValueError(f"unknown separator_type {c.separator_type}")

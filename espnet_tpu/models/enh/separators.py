@@ -11,6 +11,7 @@ from __future__ import annotations
 from typing import Any, Dict, List, Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from espnet_tpu.models.enh.layers import (
@@ -368,3 +369,97 @@ def _mask_nonlinear(masks: jnp.ndarray, kind: str) -> jnp.ndarray:
     if kind == "softmax":
         return nn.softmax(masks, axis=1)
     return nn.tanh(masks)
+
+
+class RNNSeparator(nn.Module):
+    """Classic BLSTM mask estimator (`espnet2/enh/separator/rnn_separator.py`):
+    stacked (bi)LSTM over the feature sequence -> per-speaker sigmoid masks
+    applied to the input feature."""
+
+    input_dim: int
+    num_spk: int = 2
+    layers: int = 3
+    hidden: int = 512
+    bidirectional: bool = True
+    nonlinear: str = "sigmoid"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat, lengths, deterministic: bool = True):
+        x = feat  # (B, T, N)
+        for i in range(self.layers):
+            fwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden, dtype=self.dtype),
+                         name=f"lstm{i}_f")(x)
+            if self.bidirectional:
+                bwd = nn.RNN(
+                    nn.OptimizedLSTMCell(self.hidden, dtype=self.dtype),
+                    name=f"lstm{i}_b", reverse=True, keep_order=True,
+                )(x)
+                x = jnp.concatenate([fwd, bwd], axis=-1)
+            else:
+                x = fwd
+        act = {"sigmoid": nn.sigmoid, "relu": nn.relu,
+               "tanh": nn.tanh}[self.nonlinear]
+        masks = act(
+            nn.Dense(self.num_spk * self.input_dim, dtype=self.dtype,
+                     name="mask_proj")(x)
+        ).reshape(feat.shape[0], feat.shape[1], self.num_spk, self.input_dim)
+        masks = masks.transpose(0, 2, 1, 3)  # (B, C, T, N)
+        masked = masks * feat[:, None]
+        others = {f"mask_spk{i + 1}": masks[:, i]
+                  for i in range(self.num_spk)}
+        return masked, lengths, others
+
+
+class DANSeparator(nn.Module):
+    """Deep-attractor network (`espnet2/enh/separator/dan_separator.py`,
+    Chen et al. 2017): BLSTM -> TF embeddings; attractors are the
+    oracle-mask-weighted embedding means at train time and are estimated
+    by the same means over estimated masks at inference; masks come from
+    softmax over embedding-attractor similarities.
+
+    Training callers pass `oracle_masks` (B, T, F, n_spk); without them the
+    separator bootstraps attractors from a first-pass softmax over a
+    learned codebook (k-means-free inference approximation).
+    """
+
+    input_dim: int
+    num_spk: int = 2
+    layers: int = 2
+    hidden: int = 256
+    emb_dim: int = 20
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat, lengths, deterministic: bool = True,
+                 oracle_masks=None):
+        b, t, f = feat.shape
+        x = feat
+        for i in range(self.layers):
+            fwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden, dtype=self.dtype),
+                         name=f"lstm{i}_f")(x)
+            bwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden, dtype=self.dtype),
+                         name=f"lstm{i}_b", reverse=True, keep_order=True)(x)
+            x = jnp.concatenate([fwd, bwd], axis=-1)
+        emb = nn.tanh(
+            nn.Dense(f * self.emb_dim, dtype=self.dtype, name="emb_proj")(x)
+        ).reshape(b, t * f, self.emb_dim)  # (B, TF, D)
+        if oracle_masks is not None:
+            w = oracle_masks.reshape(b, t * f, self.num_spk)
+        else:
+            codebook = self.param(
+                "attractor_init", nn.initializers.normal(1.0),
+                (self.num_spk, self.emb_dim),
+            )
+            sim0 = jnp.einsum("bnd,sd->bns", emb, codebook.astype(emb.dtype))
+            w = jax.nn.softmax(sim0, axis=-1)
+        denom = jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-6)
+        attractors = jnp.einsum("bns,bnd->bsd", w / denom, emb)  # (B, S, D)
+        sim = jnp.einsum("bnd,bsd->bns", emb, attractors)
+        masks = jax.nn.softmax(sim, axis=-1).reshape(b, t, f, self.num_spk)
+        masks = masks.transpose(0, 3, 1, 2)  # (B, C, T, F)
+        masked = masks * feat[:, None]
+        others = {f"mask_spk{i + 1}": masks[:, i]
+                  for i in range(self.num_spk)}
+        others["embedding"] = emb
+        return masked, lengths, others

@@ -123,3 +123,135 @@ def pit_solve(
     best_loss = jnp.take_along_axis(losses, best[:, None], 1)[:, 0]
     best_perm = perm_arr[best]                         # (B, n_spk)
     return best_loss, best_perm
+
+
+def ci_sdr_loss(
+    ref: jnp.ndarray,            # (B, n)
+    est: jnp.ndarray,            # (B, n)
+    lengths: Optional[jnp.ndarray] = None,
+    filter_length: int = 512,
+) -> jnp.ndarray:
+    """Negative CI-SDR per utterance (`time_domain.py:64` CISDRLoss;
+    Boeddeker et al. 2021, arXiv:2011.15003): SDR measured against the
+    reference passed through the optimal length-L FIR filter, making the
+    criterion invariant to short convolutive transfer functions.
+
+    Solved in closed form: h* = R^-1 p with R the (L, L) Toeplitz
+    autocorrelation of ref and p the ref/est cross-correlation, both via
+    FFT; the filtered reference is the projection of est onto the span of
+    the L shifted refs.
+    """
+    mask = _masked(ref, lengths).astype(ref.dtype)
+    ref = ref * mask
+    est = est * mask
+    n = ref.shape[-1]
+    lf = min(filter_length, n)
+    n_fft = int(2 ** np.ceil(np.log2(n + lf)))
+    rf = jnp.fft.rfft(ref, n_fft)
+    ef = jnp.fft.rfft(est, n_fft)
+    acorr = jnp.fft.irfft(rf * jnp.conj(rf), n_fft)[:, :lf]     # (B, L)
+    xcorr = jnp.fft.irfft(ef * jnp.conj(rf), n_fft)[:, :lf]     # (B, L)
+    idx = jnp.abs(jnp.arange(lf)[:, None] - jnp.arange(lf)[None, :])
+    r_mat = acorr[:, idx]                                       # (B, L, L)
+    r_mat = r_mat + EPS * jnp.eye(lf)[None]
+    h = jnp.linalg.solve(r_mat, xcorr[..., None])[..., 0]       # (B, L)
+    filt = jnp.fft.irfft(rf * jnp.fft.rfft(h, n_fft), n_fft)[:, :n]
+    err = est - filt
+    ratio = jnp.sum(filt ** 2, -1) / (jnp.sum(err ** 2, -1) + EPS)
+    return -10.0 * jnp.log10(ratio + EPS)
+
+
+# --- tf-domain mask criterions (`tf_domain.py:17` _create_mask_label) -----
+
+
+def mask_label(
+    mix_real: jnp.ndarray, mix_imag: jnp.ndarray,
+    ref_real: jnp.ndarray, ref_imag: jnp.ndarray,
+    mask_type: str = "IAM",
+) -> jnp.ndarray:
+    """Ideal mask targets over TF bins (shapes (B, T, F)).
+
+    IBM: 1 where |ref| dominates |mix - ref|; IRM: |ref|/(|ref|+|noise|);
+    IAM: |ref|/|mix| clipped to [0, 1]; PSM: |ref|/|mix| cos(angle diff)
+    clipped to [0, 1] (NPSM clips at 0 only below).
+    """
+    mix_mag = jnp.sqrt(mix_real ** 2 + mix_imag ** 2 + EPS)
+    ref_mag = jnp.sqrt(ref_real ** 2 + ref_imag ** 2 + EPS)
+    mask_type = mask_type.upper()
+    if mask_type == "IBM":
+        noise_r = mix_real - ref_real
+        noise_i = mix_imag - ref_imag
+        noise_mag = jnp.sqrt(noise_r ** 2 + noise_i ** 2 + EPS)
+        return (ref_mag >= noise_mag).astype(mix_real.dtype)
+    if mask_type == "IRM":
+        noise_r = mix_real - ref_real
+        noise_i = mix_imag - ref_imag
+        noise_mag = jnp.sqrt(noise_r ** 2 + noise_i ** 2 + EPS)
+        return ref_mag / (ref_mag + noise_mag + EPS)
+    if mask_type == "IAM":
+        return jnp.clip(ref_mag / (mix_mag + EPS), 0.0, 1.0)
+    if mask_type in ("PSM", "NPSM"):
+        # cos(theta_ref - theta_mix) = Re(ref * conj(mix)) / (|ref||mix|)
+        cos = (ref_real * mix_real + ref_imag * mix_imag) / (
+            ref_mag * mix_mag + EPS
+        )
+        psm = ref_mag / (mix_mag + EPS) * cos
+        lo, hi = (0.0, 1.0) if mask_type == "PSM" else (0.0, jnp.inf)
+        return jnp.clip(psm, lo, hi)
+    raise ValueError(f"unsupported mask type {mask_type}")
+
+
+def tf_mse_loss(ref, est, lengths: Optional[jnp.ndarray] = None):
+    """Masked MSE over TF bins, (B,) (`tf_domain.py` FrequencyDomainMSE)."""
+    if lengths is None:
+        m = jnp.ones(ref.shape[:2], ref.dtype)
+    else:
+        m = (jnp.arange(ref.shape[1])[None, :] < lengths[:, None]).astype(ref.dtype)
+    cnt = jnp.maximum(jnp.sum(m, -1) * ref.shape[-1], 1.0)
+    return jnp.sum(((ref - est) ** 2) * m[..., None], axis=(1, 2)) / cnt
+
+
+def dpcl_loss(
+    embedding: jnp.ndarray,      # (B, T*F, D) unit-norm embeddings
+    ref_masks: jnp.ndarray,      # (B, T*F, n_spk) one-hot dominance labels
+) -> jnp.ndarray:
+    """Deep-clustering affinity loss (`tf_domain.py` FrequencyDomainDPCL,
+    Hershey et al. 2016): || V V^T - Y Y^T ||_F^2 expanded to avoid the
+    (TF x TF) Gram matrices."""
+    vtv = jnp.einsum("bnd,bne->bde", embedding, embedding)
+    vty = jnp.einsum("bnd,bns->bds", embedding, ref_masks)
+    yty = jnp.einsum("bns,bnt->bst", ref_masks, ref_masks)
+    return (
+        jnp.sum(vtv ** 2, axis=(1, 2))
+        - 2.0 * jnp.sum(vty ** 2, axis=(1, 2))
+        + jnp.sum(yty ** 2, axis=(1, 2))
+    )
+
+
+def mixit_solve(
+    loss_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    refs: jnp.ndarray,           # (B, n_ref, n) mixtures-of-references
+    ests: jnp.ndarray,           # (B, n_est, n) separated estimates
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Mixture-invariant training (`wrappers/mixit_solver.py:13`): assign
+    each estimate to one of the n_ref mixtures, sum assigned estimates,
+    score against the mixtures, keep the best assignment. Returns
+    (best mean loss (B,), best assignment (B, n_est) -> mixture index)."""
+    b, n_ref, n = refs.shape
+    n_est = ests.shape[1]
+    assignments = list(itertools.product(range(n_ref), repeat=n_est))
+    losses = []
+    for asm in assignments:
+        mat = jnp.asarray(
+            np.eye(n_ref, dtype=np.float32)[np.asarray(asm)].T
+        )  # (n_ref, n_est)
+        mixed = jnp.einsum("ri,bin->brn", mat, ests)
+        per_ref = jnp.stack(
+            [loss_fn(refs[:, r], mixed[:, r]) for r in range(n_ref)], axis=1
+        )
+        losses.append(jnp.mean(per_ref, axis=1))
+    losses = jnp.stack(losses, axis=1)               # (B, A)
+    best = jnp.argmin(losses, axis=1)
+    best_loss = jnp.take_along_axis(losses, best[:, None], 1)[:, 0]
+    asm_arr = jnp.asarray(assignments)               # (A, n_est)
+    return best_loss, asm_arr[best]

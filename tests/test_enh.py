@@ -154,3 +154,102 @@ def test_enh_separation_learns(tmp_path):
     loss_end = float(loss)
     # loss = -SI-SNR: demand >= 8 dB improvement on this trivial problem
     assert loss_end < loss0 - 8.0, (loss0, loss_end)
+
+
+def test_rnn_and_dan_separators():
+    import jax
+    import jax.numpy as jnp
+
+    from espnet_tpu.models.enh.model import EnhConfig, EnhancementModel
+
+    rng = np.random.RandomState(0)
+    mix = rng.randn(2, 1600).astype(np.float32) * 0.1
+    lens = np.asarray([1600, 1200], np.int32)
+    refs = rng.randn(2, 2, 1600).astype(np.float32) * 0.1
+    for sep in ("rnn", "dan"):
+        cfg = EnhConfig(num_spk=2, encoder_type="stft", separator_type=sep,
+                        n_fft=128, hop_length=64, rnn_layers=1, rnn_hidden=16)
+        model = EnhancementModel(cfg)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.asarray(mix), jnp.asarray(lens),
+            jnp.asarray(refs), True,
+        )
+        loss, stats = model.apply(
+            variables, jnp.asarray(mix), jnp.asarray(lens),
+            jnp.asarray(refs), True,
+        )
+        assert np.isfinite(float(loss)), sep
+
+
+def test_ci_sdr_loss_properties():
+    import jax.numpy as jnp
+
+    from espnet_tpu.ops.enh_losses import ci_sdr_loss, snr_loss
+
+    rng = np.random.RandomState(1)
+    ref = rng.randn(2, 800).astype(np.float32)
+    # a delayed/filtered copy: CI-SDR forgives it, plain SNR does not
+    est = np.concatenate([np.zeros((2, 5), np.float32), ref[:, :-5]],
+                         axis=-1) * 0.8
+    ci = np.asarray(ci_sdr_loss(jnp.asarray(ref), jnp.asarray(est),
+                                filter_length=32))
+    snr = np.asarray(snr_loss(jnp.asarray(ref), jnp.asarray(est)))
+    assert (ci < -30).all()            # near-perfect after filtering
+    assert (snr > ci + 10).all()       # plain SNR penalised the shift
+    # exact copy is also near-perfect
+    ci0 = np.asarray(ci_sdr_loss(jnp.asarray(ref), jnp.asarray(ref),
+                                 filter_length=32))
+    assert (ci0 < -40).all()
+
+
+def test_mask_labels_and_tf_mse():
+    import jax.numpy as jnp
+
+    from espnet_tpu.ops.enh_losses import mask_label, tf_mse_loss
+
+    rng = np.random.RandomState(2)
+    mr, mi = rng.randn(2, 10, 8), rng.randn(2, 10, 8)
+    rr, ri = mr * 0.6, mi * 0.6  # ref = 0.6 * mix, in phase
+    iam = np.asarray(mask_label(jnp.asarray(mr), jnp.asarray(mi),
+                                jnp.asarray(rr), jnp.asarray(ri), "IAM"))
+    np.testing.assert_allclose(iam, 0.6, atol=1e-3)
+    psm = np.asarray(mask_label(jnp.asarray(mr), jnp.asarray(mi),
+                                jnp.asarray(rr), jnp.asarray(ri), "PSM"))
+    np.testing.assert_allclose(psm, 0.6, atol=1e-3)
+    ibm = np.asarray(mask_label(jnp.asarray(mr), jnp.asarray(mi),
+                                jnp.asarray(rr), jnp.asarray(ri), "IBM"))
+    assert set(np.unique(ibm)) <= {0.0, 1.0}
+    mse = np.asarray(tf_mse_loss(jnp.asarray(iam), jnp.asarray(psm)))
+    assert (mse < 1e-5).all()
+
+
+def test_mixit_solver_finds_true_assignment():
+    import jax.numpy as jnp
+
+    from espnet_tpu.ops.enh_losses import mixit_solve, snr_loss
+
+    rng = np.random.RandomState(3)
+    s = rng.randn(2, 4, 400).astype(np.float32)  # 4 true sources
+    # mixtures: ref0 = s0+s1, ref1 = s2+s3; estimates = the 4 sources
+    refs = np.stack([s[:, 0] + s[:, 1], s[:, 2] + s[:, 3]], axis=1)
+    loss, asm = mixit_solve(
+        lambda r, e: snr_loss(r, e), jnp.asarray(refs), jnp.asarray(s)
+    )
+    assert (np.asarray(asm) == np.asarray([0, 0, 1, 1])).all()
+    assert (np.asarray(loss) < -100).all()
+
+
+def test_dpcl_loss_zero_for_ideal_embeddings():
+    import jax.numpy as jnp
+
+    from espnet_tpu.ops.enh_losses import dpcl_loss
+
+    # embeddings exactly equal to one-hot labels -> VV^T == YY^T -> loss 0
+    rng = np.random.RandomState(4)
+    labels = np.eye(2, dtype=np.float32)[rng.randint(0, 2, (2, 30))]
+    loss = np.asarray(dpcl_loss(jnp.asarray(labels), jnp.asarray(labels)))
+    np.testing.assert_allclose(loss, 0.0, atol=1e-4)
+    # random embeddings score worse
+    emb = rng.randn(2, 30, 2).astype(np.float32)
+    loss2 = np.asarray(dpcl_loss(jnp.asarray(emb), jnp.asarray(labels)))
+    assert (loss2 > 1.0).all()
