@@ -459,3 +459,106 @@ class ASRMulEncDataset:
     def text_lengths(self) -> Dict[str, int]:
         return {k: len(self.tokenizer.text2tokens(v))
                 for k, v in self.text.items()}
+
+
+class ChunkIterator:
+    """Fixed-length chunk training iterator (enhancement).
+
+    Behavioral spec: `espnet2/iterators/chunk_iter_factory.py:13`
+    (ChunkIterFactory): utterances are cut into `chunk_length` windows with
+    shift = chunk_shift_ratio * chunk_length and a per-epoch random start
+    offset; chunks are pooled across utterances and emitted in fixed-size
+    batches — every batch therefore has a single static shape
+    (batch_size, chunk_length, ...), the XLA-friendliest possible stream.
+    Time-aligned array fields (equal leading length) are chunked together;
+    utterances shorter than one chunk are zero-padded up.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        keys: List[str],
+        chunk_length: int,
+        batch_size: int,
+        chunk_shift_ratio: float = 0.5,
+        seed: int = 0,
+        fields: Optional[Tuple[str, ...]] = None,
+        num_shards: int = 1,
+        shard_index: int = 0,
+    ):
+        self.dataset = dataset
+        self.keys = list(keys)
+        self.chunk_length = int(chunk_length)
+        self.batch_size = int(batch_size)
+        self.shift = max(1, int(chunk_length * chunk_shift_ratio))
+        self.seed = seed
+        self.fields = fields
+        self.num_shards = num_shards
+        self.shard_index = shard_index
+
+    def num_steps(self) -> int:  # approximate (chunk counts vary per utt)
+        return max(1, len(self.keys) // max(self.batch_size, 1))
+
+    def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        rng = np.random.RandomState((self.seed + epoch) % (2 ** 31))
+        order = rng.permutation(len(self.keys))
+        order = order[self.shard_index :: self.num_shards]
+        pool: Dict[str, List[np.ndarray]] = {}
+        pool_keys: List[str] = []
+        cl = self.chunk_length
+
+        def flush():
+            n = min(len(v) for v in pool.values())
+            take = (n // self.batch_size) * self.batch_size
+            for i in range(0, take, self.batch_size):
+                batch = {
+                    f: np.stack(v[i : i + self.batch_size])
+                    for f, v in pool.items()
+                }
+                batch["keys"] = pool_keys[i : i + self.batch_size]
+                lead = next(iter(batch.values()))
+                batch_out = {}
+                for f, arr in batch.items():
+                    if f == "keys":
+                        continue
+                    batch_out[f] = arr
+                    batch_out[f + "_lengths"] = np.full(
+                        (arr.shape[0],), cl, np.int32
+                    )
+                batch_out["keys"] = batch["keys"]
+                yield batch_out
+            for f in pool:
+                pool[f] = pool[f][take:]
+            del pool_keys[:take]
+
+        for idx in order:
+            key = self.keys[idx]
+            data = self.dataset[key]
+            arrays = {
+                f: np.asarray(v)
+                for f, v in data.items()
+                if self.fields is None or f in self.fields
+            }
+            if not arrays:
+                continue
+            length = min(a.shape[0] for a in arrays.values())
+            if length < cl:
+                arrays = {
+                    f: np.pad(a[:length],
+                              [(0, cl - length)] + [(0, 0)] * (a.ndim - 1))
+                    for f, a in arrays.items()
+                }
+                starts = [0]
+            else:
+                offset = int(rng.randint(0, self.shift))
+                starts = list(range(offset, length - cl + 1, self.shift))
+                if not starts:
+                    starts = [0]
+            for s in starts:
+                for f, a in arrays.items():
+                    pool.setdefault(f, []).append(a[s : s + cl])
+                pool_keys.append(f"{key}:{s}")
+            if pool and min(len(v) for v in pool.values()) >= self.batch_size:
+                yield from flush()
+        if pool and min(len(v) for v in pool.values()) >= self.batch_size:
+            yield from flush()

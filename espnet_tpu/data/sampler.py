@@ -156,3 +156,116 @@ def shard_batches(batches: List[Batch], num_shards: int) -> List[Batch]:
     if rem:
         batches = batches + batches[: num_shards - rem]
     return batches
+
+
+def build_batches_folded(
+    shapes: Dict[str, Dict[str, int]],
+    batch_size: int,
+    fold_lengths: Dict[str, int],
+    min_batch_size: int = 1,
+    length_quantum: int = 128,
+    text_quantum: int = 8,
+    input_field: str = "speech",
+    sort_in_batch: str = "descending",
+) -> List[Batch]:
+    """FoldedBatchSampler semantics (`espnet2/samplers/folded_batch_sampler.py:9`):
+    utterances sorted ascending by length; each batch's size is
+    batch_size / (1 + max_f(len_f / fold_length_f)) — long utterances get
+    proportionally smaller batches so padded numel stays bounded."""
+    fields = list(shapes)
+    keys = sorted(shapes[input_field], key=lambda k: shapes[input_field][k])
+    batches: List[Batch] = []
+    start = 0
+    while start < len(keys):
+        k = keys[start]
+        factor = max(
+            shapes[f][k] // max(fold_lengths.get(f, 1 << 30), 1)
+            for f in fields
+        )
+        bs = max(min_batch_size, batch_size // (1 + factor))
+        grp = keys[start : start + bs]
+        if sort_in_batch == "descending":
+            grp = grp[::-1]
+        pad = {
+            f: quantize_length(
+                max(shapes[f][kk] for kk in grp),
+                length_quantum if f == input_field else text_quantum,
+            )
+            for f in fields
+        }
+        batches.append(Batch(grp, pad))
+        start += bs
+    return batches
+
+
+def build_batches_length(
+    shapes: Dict[str, Dict[str, int]],
+    batch_bins: int,
+    min_batch_size: int = 1,
+    padding: bool = True,
+    length_quantum: int = 128,
+    text_quantum: int = 8,
+    input_field: str = "speech",
+    sort_in_batch: str = "descending",
+) -> List[Batch]:
+    """LengthBatchSampler semantics (`length_batch_sampler.py:9`): grow the
+    batch while the length budget holds — padding=True counts
+    batch_size * max_len per field (padded bins), padding=False the raw sum
+    of lengths."""
+    fields = list(shapes)
+    keys = sorted(shapes[input_field], key=lambda k: shapes[input_field][k])
+    batches: List[Batch] = []
+    cur: List[str] = []
+
+    def flush():
+        if not cur:
+            return
+        grp = cur[::-1] if sort_in_batch == "descending" else list(cur)
+        pad = {
+            f: quantize_length(
+                max(shapes[f][k] for k in grp),
+                length_quantum if f == input_field else text_quantum,
+            )
+            for f in fields
+        }
+        batches.append(Batch(grp, pad))
+        cur.clear()
+
+    for k in keys:
+        cand = cur + [k]
+        if padding:
+            bins = sum(
+                len(cand) * max(shapes[f][kk] for kk in cand) for f in fields
+            )
+        else:
+            bins = sum(shapes[f][kk] for kk in cand for f in fields)
+        if cur and bins > batch_bins and len(cur) >= min_batch_size:
+            flush()
+        cur.append(k)
+    flush()
+    return batches
+
+
+def build_batches_unsorted(
+    shapes: Dict[str, Dict[str, int]],
+    batch_size: int,
+    length_quantum: int = 128,
+    text_quantum: int = 8,
+    input_field: str = "speech",
+) -> List[Batch]:
+    """UnsortedBatchSampler (`unsorted_batch_sampler.py`): fixed-size
+    batches in corpus order (no length sorting — the v1 "seq" batching)."""
+    fields = list(shapes)
+    keys = list(shapes[input_field])
+    batches = []
+    for i in range(0, len(keys), batch_size):
+        grp = keys[i : i + batch_size]
+        pad = {
+            f: quantize_length(
+                max(shapes[f][k] for k in grp),
+                length_quantum if f == input_field else text_quantum,
+            )
+            for f in fields
+        }
+        batches.append(Batch(grp, pad))
+    return batches

@@ -106,3 +106,77 @@ def test_dataset_and_iterator(tmp_path):
     order1 = [b["keys"] for b in it.epoch(3)]
     order2 = [b["keys"] for b in it.epoch(3)]
     assert order1 == order2
+
+
+def test_folded_batch_sampler():
+    from espnet_tpu.data.sampler import build_batches_folded
+
+    shapes = {
+        "speech": {f"u{i}": (i + 1) * 100 for i in range(20)},
+        "text": {f"u{i}": 5 for i in range(20)},
+    }
+    batches = build_batches_folded(
+        shapes, batch_size=8, fold_lengths={"speech": 400},
+    )
+    covered = [k for b in batches for k in b.keys]
+    assert sorted(covered) == sorted(shapes["speech"])
+    # long utterances land in smaller batches
+    sizes = {b.keys[0]: len(b.keys) for b in batches}
+    assert len(batches[0].keys) > len(batches[-1].keys)
+
+
+def test_length_batch_sampler():
+    from espnet_tpu.data.sampler import build_batches_length
+
+    shapes = {"speech": {f"u{i}": 50 + i * 10 for i in range(30)},
+              "text": {f"u{i}": 4 for i in range(30)}}
+    batches = build_batches_length(shapes, batch_bins=2000)
+    covered = [k for b in batches for k in b.keys]
+    assert sorted(covered) == sorted(shapes["speech"])
+    for b in batches[:-1]:
+        assert len(b.keys) >= 1
+
+
+def test_unsorted_batch_sampler():
+    from espnet_tpu.data.sampler import build_batches_unsorted
+
+    shapes = {"speech": {f"u{i}": 100 for i in range(10)},
+              "text": {f"u{i}": 4 for i in range(10)}}
+    batches = build_batches_unsorted(shapes, batch_size=4)
+    assert [b.keys for b in batches][0] == ["u0", "u1", "u2", "u3"]
+
+
+def test_chunk_iterator():
+    from espnet_tpu.data.dataset import ChunkIterator
+
+    rng = np.random.RandomState(0)
+
+    class DS:
+        def __init__(self):
+            self.data = {
+                f"u{i}": {
+                    "speech_mix": rng.randn(300 + 40 * i).astype(np.float32),
+                    "speech_ref": rng.randn(300 + 40 * i, 2).astype(np.float32),
+                }
+                for i in range(6)
+            }
+
+        def __getitem__(self, k):
+            return self.data[k]
+
+    ds = DS()
+    it = ChunkIterator(ds, list(ds.data), chunk_length=128, batch_size=4,
+                       seed=1)
+    batches = list(it.epoch(0))
+    assert batches, "no chunk batches emitted"
+    for b in batches:
+        assert b["speech_mix"].shape == (4, 128)
+        assert b["speech_ref"].shape == (4, 128, 2)
+        assert (b["speech_mix_lengths"] == 128).all()
+    # chunks are time-aligned between fields
+    k0, s0 = batches[0]["keys"][0].split(":")
+    ref = ds[k0]["speech_mix"][int(s0): int(s0) + 128]
+    np.testing.assert_allclose(batches[0]["speech_mix"][0], ref)
+    # reproducible per epoch, different across epochs
+    again = list(it.epoch(0))
+    np.testing.assert_allclose(batches[0]["speech_mix"], again[0]["speech_mix"])
