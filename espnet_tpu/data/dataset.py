@@ -40,7 +40,13 @@ class ASRDataset:
         # front-end inside the ASR model); default selects channel 0
         if (wav_scp is None) == (feats_scp is None):
             raise ValueError("exactly one of wav_scp/feats_scp required")
-        self.speech = SoundScpReader(wav_scp) if wav_scp else NpyScpReader(feats_scp)
+        if wav_scp:
+            self.speech = SoundScpReader(wav_scp)
+        else:
+            # dispatch npy / kaldi-ark / hdf5 by scp entry style
+            from espnet_tpu.data.kaldi_io import open_feats_scp
+
+            self.speech = open_feats_scp(feats_scp)
         self.is_raw = wav_scp is not None
         self.text = read_2column_text(text) if text else None
         self.tokenizer = tokenizer
