@@ -82,8 +82,19 @@ class ASRConfig:
     num_encoder_layers: int = 12
     subsampling_factor: int = 4
     conformer_kernel_size: int = 31
+    # pretrained SSL / Whisper integration (ingested HF checkpoints via
+    # train/hf_import; `espnet2/asr/encoder/wav2vec2_encoder.py:1`,
+    # `hubert_encoder.py`, `whisper_encoder.py`,
+    # `espnet2/asr/frontend/s3prl.py:1`). Select with
+    # input_type="ssl" (S3PRL featurizer frontend + any encoder above),
+    # encoder_type="wav2vec2" (trunk as the encoder), or
+    # encoder_type/decoder_type="whisper". `ssl`/`whisper` take
+    # models.ssl.SSLConfig/WhisperConfig instances or plain dicts (YAML).
+    ssl: Any = None
+    whisper: Any = None
+    ssl_freeze: bool = True
     # decoder
-    decoder_type: str = "transformer"  # transformer | rnn (v1 AttLoc) | s4
+    decoder_type: str = "transformer"  # transformer | rnn (v1 AttLoc) | s4 | whisper
     num_decoder_layers: int = 6
     decoder_d_ff: int = 2048
     # loss
@@ -146,6 +157,25 @@ def add_sos_eos(
     return ys_in, ys_out, text_lengths + 1
 
 
+def _coerce_section(value, kind: str, dtype):
+    """Rebuild a nested models.ssl config section. YAML/asdict round-trips
+    turn nested dataclasses into plain dicts (and tuples into lists); this
+    restores the dataclass and pins its compute dtype to the model dtype."""
+    if value is None:
+        return None
+    from espnet_tpu.models import ssl as ssl_mod
+
+    cls = getattr(ssl_mod, kind)
+    if isinstance(value, cls):
+        return dataclasses.replace(value, dtype=dtype)
+    d = {
+        k: tuple(v) if isinstance(v, list) else v
+        for k, v in dict(value).items()
+    }
+    d.pop("dtype", None)
+    return cls(dtype=dtype, **d)
+
+
 class ASRModel(nn.Module):
     """Joint CTC/attention ASR model (ESPnetASRModel equivalent)."""
 
@@ -159,7 +189,25 @@ class ASRModel(nn.Module):
             raise ValueError(
                 "interctc_layer_idx requires a conformer/transformer encoder"
             )
-        if c.encoder_type == "conformer":
+        self._ssl_cfg = _coerce_section(c.ssl, "SSLConfig", c.dtype)
+        self._whisper_cfg = _coerce_section(c.whisper, "WhisperConfig", c.dtype)
+        if c.input_type == "ssl":
+            from espnet_tpu.models.ssl import SSLFrontend
+
+            self.ssl_frontend = SSLFrontend(
+                self._ssl_cfg, freeze=c.ssl_freeze, name="ssl_frontend"
+            )
+        if c.encoder_type == "wav2vec2":
+            from espnet_tpu.models.ssl import Wav2Vec2ASREncoder
+
+            self.encoder = Wav2Vec2ASREncoder(
+                self._ssl_cfg, output_size=c.d_model, freeze=c.ssl_freeze
+            )
+        elif c.encoder_type == "whisper":
+            from espnet_tpu.models.ssl import WhisperEncoder
+
+            self.encoder = WhisperEncoder(self._whisper_cfg)
+        elif c.encoder_type == "conformer":
             self.encoder = ConformerEncoder(
                 d_model=c.d_model,
                 num_heads=c.num_heads,
@@ -255,6 +303,14 @@ class ASRModel(nn.Module):
                     dropout_rate=c.dropout_rate,
                     dtype=c.dtype,
                 )
+            elif c.decoder_type == "whisper":
+                from espnet_tpu.models.ssl import WhisperDecoder
+
+                self.decoder = WhisperDecoder(
+                    dataclasses.replace(
+                        self._whisper_cfg, vocab_size=c.vocab_size
+                    )
+                )
             elif c.decoder_type == "rnn":
                 from espnet_tpu.models.rnn import RNNDecoder
 
@@ -313,6 +369,7 @@ class ASRModel(nn.Module):
                 "sinc": c.sinc_out_dim,
                 "sliding_window": c.win_length or 400,
                 "fused": 2 * c.n_mels,
+                "ssl": self._ssl_cfg.hidden_size if self._ssl_cfg else c.n_mels,
             }.get(c.input_type, c.n_mels)
             self.mvn = GlobalMVN(feat_dim)
 
@@ -348,9 +405,24 @@ class ASRModel(nn.Module):
 
     def _frontend(self, speech, speech_lengths, deterministic: bool):
         c = self.config
+        if c.encoder_type == "wav2vec2":
+            # the SSL trunk consumes the raw waveform directly; no spectral
+            # frontend / specaug / normalize (matches the reference's
+            # wav2vec2_encoder preprocessing: none)
+            return speech, speech_lengths
         if c.num_channels > 1 and c.input_type == "raw":
             feats, feat_lengths = self._multichannel_frontend(
                 speech, speech_lengths
+            )
+        elif c.input_type == "ssl":
+            feats, feat_lengths = self.ssl_frontend(
+                speech, speech_lengths, deterministic
+            )
+        elif c.input_type == "raw" and c.encoder_type == "whisper":
+            from espnet_tpu.models.ssl import whisper_log_mel
+
+            feats, feat_lengths = whisper_log_mel(
+                speech, speech_lengths, c.fs, self._whisper_cfg.n_mels
             )
         elif c.input_type == "raw":
             feats, feat_lengths = log_mel_spectrogram(
