@@ -213,6 +213,15 @@ class EpochIterator:
         prefetch: int = 2,
         fields=("speech", "text"),
     ):
+        # num_shards=0 / shard_index=-1 mean "resolve from the JAX process
+        # topology" (multi-host data sharding; single-process -> 1 shard)
+        if num_shards <= 0 or shard_index < 0:
+            import jax
+
+            if num_shards <= 0:
+                num_shards = jax.process_count()
+            if shard_index < 0:
+                shard_index = jax.process_index()
         self.dataset = dataset
         self.batches = shard_batches(batches, num_shards)
         self.seed = seed
