@@ -13,12 +13,19 @@ carry logical axis names via `nn.with_logical_partitioning` so
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _flash_disabled() -> bool:
+    """ESPNET_TPU_DISABLE_FLASH=1 forces the XLA attention path (perf
+    ablation / kernel debugging escape hatch)."""
+    return os.environ.get("ESPNET_TPU_DISABLE_FLASH", "") not in ("", "0")
 
 
 def _dense(features: int, dtype, name: str, logical=("embed", "heads")):
@@ -114,6 +121,7 @@ class MultiHeadAttention(nn.Module):
             and q.shape[2] == k.shape[2]
             and q.shape[2] >= self.flash_threshold
             and q.shape[3] % 8 == 0
+            and not _flash_disabled()
         )
         if use_flash:
             from espnet_tpu.ops.pallas_attention import flash_attention
@@ -202,6 +210,7 @@ class RelPositionMultiHeadAttention(nn.Module):
             and dk % 8 == 0
             and bias is not None
             and jax.default_backend() == "tpu"
+            and not _flash_disabled()
         )
         if use_flash:
             from espnet_tpu.ops.pallas_relpos_attention import (

@@ -41,6 +41,7 @@ class FastSpeech2Config:
     predictor_kernel: int = 3
     postnet_layers: int = 5
     postnet_channels: int = 512
+    use_scaled_pos_enc: bool = True  # reference default (`fastspeech2.py:65`)
     dropout_rate: float = 0.1
     max_frames: int = 2048  # static upper bound for expanded length
     dtype: object = jnp.float32
@@ -86,23 +87,35 @@ def length_regulate(
 
 class Postnet(nn.Module):
     """5x conv1d refinement (`espnet/nets/pytorch_backend/tacotron2/decoder.py`
-    Postnet, shared by FastSpeech2 and Tacotron2)."""
+    Postnet:150, shared by FastSpeech2/Tacotron2/TransformerTTS/SVS):
+    conv(bias=False) -> BatchNorm -> tanh (all but last) -> dropout, with
+    BatchNorm+dropout on the final projection too. BatchNorm running stats
+    live in the 'batch_stats' collection (threaded by train/steps.py);
+    eval uses the running averages like torch eval mode."""
 
     n_mels: int
     channels: int
     layers: int
     dtype: object = jnp.float32
+    use_batch_norm: bool = True
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         h = x
-        for i in range(self.layers - 1):
-            h = nn.Conv(self.channels, (5,), padding="SAME", dtype=self.dtype,
+        for i in range(self.layers):
+            last = i == self.layers - 1
+            h = nn.Conv(self.n_mels if last else self.channels, (5,),
+                        padding="SAME", use_bias=False, dtype=self.dtype,
                         name=f"conv{i}")(h)
-            h = nn.tanh(nn.LayerNorm(dtype=self.dtype, name=f"norm{i}")(h))
+            if self.use_batch_norm:
+                h = nn.BatchNorm(
+                    use_running_average=deterministic, momentum=0.9,
+                    epsilon=1e-5, dtype=jnp.float32, name=f"norm{i}",
+                )(h.astype(jnp.float32)).astype(h.dtype)
+            if not last:
+                h = nn.tanh(h)
             h = nn.Dropout(0.5)(h, deterministic=deterministic)
-        return nn.Conv(self.n_mels, (5,), padding="SAME", dtype=self.dtype,
-                       name="out")(h)
+        return h
 
 
 class _FFTBlockStack(nn.Module):
@@ -112,12 +125,24 @@ class _FFTBlockStack(nn.Module):
     layers: int
     dropout_rate: float
     dtype: object
+    # reference FS2 default use_scaled_pos_enc=True (`fastspeech2.py:65`,
+    # ScaledPositionalEncoding): x + alpha*pe with a trainable alpha and NO
+    # sqrt(d) input scaling, vs the vanilla x*sqrt(d)+pe
+    scaled_pos: bool = False
 
     @nn.compact
     def __call__(self, x, lengths, deterministic: bool = True):
         mask = make_valid_mask(lengths, x.shape[1])
         bias = attention_bias(mask[:, None, None, :])
-        x = add_positional_encoding(x)
+        if self.scaled_pos:
+            from espnet_tpu.models.embedding import sinusoidal_table
+
+            alpha = self.param("pos_alpha", nn.initializers.ones, (1,),
+                               jnp.float32)
+            pe = jnp.asarray(sinusoidal_table(x.shape[1], self.d_model))
+            x = x + alpha.astype(x.dtype) * pe.astype(x.dtype)
+        else:
+            x = add_positional_encoding(x)
         x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
         for i in range(self.layers):
             x = TransformerEncoderLayer(
@@ -136,10 +161,12 @@ class FastSpeech2(nn.Module):
         self.embed = nn.Embed(c.vocab_size, c.d_model, dtype=c.dtype)
         self.encoder = _FFTBlockStack(c.d_model, c.num_heads, c.d_ff,
                                       c.encoder_layers, c.dropout_rate,
-                                      c.dtype, name="encoder")
+                                      c.dtype, scaled_pos=c.use_scaled_pos_enc,
+                                      name="encoder")
         self.decoder = _FFTBlockStack(c.d_model, c.num_heads, c.d_ff,
                                       c.decoder_layers, c.dropout_rate,
-                                      c.dtype, name="decoder")
+                                      c.dtype, scaled_pos=c.use_scaled_pos_enc,
+                                      name="decoder")
         pk = dict(channels=c.predictor_channels, layers=c.predictor_layers,
                   kernel=c.predictor_kernel, dropout_rate=0.5, dtype=c.dtype)
         self.duration_predictor = VariancePredictor(**pk, name="duration")

@@ -55,7 +55,14 @@ class Tacotron2Config:
     postnet_channels: int = 512
     reduction_factor: int = 1
     dropout_rate: float = 0.5
-    zoneout_rate: float = 0.1  # modeled as plain dropout on lstm outputs
+    # ZoneOutCell (`rnn_decoders... tacotron2/decoder.py:24`): train keeps
+    # previous h/c elementwise w.p. rate ('zoneout' rng collection); eval
+    # uses the expectation rate*prev + (1-rate)*new like torch eval mode
+    zoneout_rate: float = 0.1
+    # accumulate attention weights as the AttLoc conv input
+    # (`e2e_tts_tacotron2.py` cumulate_att_w default True)
+    cumulate_att_w: bool = True
+    use_batch_norm: bool = True  # encoder convs (tacotron2/encoder.py)
     use_gst: bool = False        # global style tokens (`espnet2/tts/gst`)
     gst_tokens: int = 10
     gst_heads: int = 4
@@ -82,9 +89,18 @@ class Tacotron2Encoder(nn.Module):
         mask = make_valid_mask(text_lengths, text.shape[1])
         for i in range(c.encoder_conv_layers):
             x = nn.Conv(c.encoder_conv_channels, (c.encoder_conv_kernel,),
-                        padding="SAME", dtype=c.dtype, name=f"conv{i}")(
+                        padding="SAME", use_bias=not c.use_batch_norm,
+                        dtype=c.dtype, name=f"conv{i}")(
                 x * mask[..., None].astype(x.dtype))
-            x = nn.relu(nn.LayerNorm(dtype=c.dtype, name=f"norm{i}")(x))
+            if c.use_batch_norm:
+                # reference encoder.py: Conv1d(bias=False) -> BatchNorm1d
+                x = nn.BatchNorm(
+                    use_running_average=deterministic, momentum=0.9,
+                    epsilon=1e-5, dtype=jnp.float32, name=f"norm{i}",
+                )(x.astype(jnp.float32)).astype(c.dtype)
+                x = nn.relu(x)
+            else:
+                x = nn.relu(nn.LayerNorm(dtype=c.dtype, name=f"norm{i}")(x))
             x = nn.Dropout(c.dropout_rate)(x, deterministic=deterministic)
         h = c.encoder_lstm_units // 2
         fwd = nn.RNN(nn.OptimizedLSTMCell(h, dtype=c.dtype), name="lstm_fwd")
@@ -109,33 +125,24 @@ class _DecoderStep(nn.Module):
 
     @nn.compact
     def __call__(self, carry, x_t):
+        """Reference dataflow (`tacotron2/decoder.py` Decoder.forward):
+        attention (query = previous step's first-layer hidden, AttLoc input
+        = cumulative weights) -> prenet -> LSTM stack with zoneout ->
+        project concat(z_last, att_c)."""
         c = self.cfg
-        (lstm_states, att_w, prev_out, stopped, n_steps,
+        (lstm_states, att_w, att_cum, step_t, prev_out, stopped, n_steps,
          memory, processed_mem, mem_mask) = carry
         teacher_frame, use_teacher = x_t
         prev_frame = jnp.where(use_teacher[:, None], teacher_frame, prev_out)
 
-        # prenet: dropout ALWAYS on (tacotron2/decoder.py Prenet)
-        h = prev_frame
-        for i in range(c.prenet_layers):
-            h = nn.relu(nn.Dense(c.prenet_units, dtype=c.dtype,
-                                 name=f"prenet{i}")(h))
-            h = nn.Dropout(c.dropout_rate, deterministic=False)(h)
-
-        prev_ctx = jnp.einsum("bt,btd->bd", att_w, memory)
-        x = jnp.concatenate([h, prev_ctx], axis=-1)
-        new_states = []
-        for i in range(c.decoder_lstm_layers):
-            cell = nn.OptimizedLSTMCell(c.decoder_lstm_units, dtype=c.dtype,
-                                        name=f"lstm{i}")
-            st, x = cell(lstm_states[i], x)
-            x = nn.Dropout(c.zoneout_rate, deterministic=False)(x)
-            new_states.append(st)
-        query = x  # (B, H)
-
-        # location-sensitive attention (AttLoc, rnn/attentions.py)
+        # location-sensitive attention (AttLoc, rnn/attentions.py:316):
+        # conv input is the cumulated weights after step 0 (cumulate_att_w),
+        # uniform weights at step 0 (att_prev None in the reference)
+        att_input = jnp.where(step_t == 0, att_w,
+                              att_cum if c.cumulate_att_w else att_w)
+        query = lstm_states[0][1]  # previous z_list[0]
         f = nn.Conv(c.att_conv_channels, (c.att_conv_kernel,), padding="SAME",
-                    dtype=c.dtype, name="att_conv")(att_w[..., None])
+                    dtype=c.dtype, name="att_conv")(att_input[..., None])
         e = nn.Dense(1, use_bias=False, dtype=c.dtype, name="att_v")(
             nn.tanh(
                 processed_mem
@@ -146,10 +153,40 @@ class _DecoderStep(nn.Module):
             )
         )[..., 0]
         e = jnp.where(mem_mask, e, NEG_INF)
-        new_att_w = jax.nn.softmax(e, axis=-1)
+        # AttLoc softmax scaling=2.0 default (rnn/attentions.py:124,161)
+        new_att_w = jax.nn.softmax(2.0 * e, axis=-1)
         context = jnp.einsum("bt,btd->bd", new_att_w, memory)
+        new_cum = (att_cum + new_att_w) if c.cumulate_att_w else new_att_w
 
-        proj_in = jnp.concatenate([query, context], axis=-1)
+        # prenet: dropout ALWAYS on (tacotron2/decoder.py Prenet:74)
+        h = prev_frame
+        for i in range(c.prenet_layers):
+            h = nn.relu(nn.Dense(c.prenet_units, dtype=c.dtype,
+                                 name=f"prenet{i}")(h))
+            h = nn.Dropout(c.dropout_rate, deterministic=False)(h)
+
+        def zoneout(prev, new):
+            if c.zoneout_rate == 0.0:
+                return new
+            if self.has_rng("zoneout"):
+                keep = jax.random.bernoulli(
+                    self.make_rng("zoneout"), c.zoneout_rate, new.shape)
+                return jnp.where(keep, prev, new)
+            # eval: expectation (ZoneOutCell._zoneout eval branch)
+            return c.zoneout_rate * prev + (1.0 - c.zoneout_rate) * new
+
+        x = jnp.concatenate([context, h], axis=-1)
+        new_states = []
+        for i in range(c.decoder_lstm_layers):
+            cell = nn.OptimizedLSTMCell(c.decoder_lstm_units, dtype=c.dtype,
+                                        name=f"lstm{i}")
+            (new_c, new_h), _ = cell(lstm_states[i], x)
+            new_c = zoneout(lstm_states[i][0], new_c)
+            new_h = zoneout(lstm_states[i][1], new_h)
+            new_states.append((new_c, new_h))
+            x = new_h
+
+        proj_in = jnp.concatenate([x, context], axis=-1)
         frames = nn.Dense(c.n_mels * c.reduction_factor, dtype=c.dtype,
                           name="feat_out")(proj_in)
         stop_logits = nn.Dense(c.reduction_factor, dtype=c.dtype,
@@ -159,8 +196,9 @@ class _DecoderStep(nn.Module):
         stop_now = jax.nn.sigmoid(stop_logits[:, -1]) > c.stop_threshold
         new_stopped = stopped | stop_now
         new_n_steps = n_steps + (~stopped).astype(jnp.int32)
-        new_carry = (tuple(new_states), new_att_w, last_frame, new_stopped,
-                     new_n_steps, memory, processed_mem, mem_mask)
+        new_carry = (tuple(new_states), new_att_w, new_cum, step_t + 1,
+                     last_frame, new_stopped, new_n_steps, memory,
+                     processed_mem, mem_mask)
         return new_carry, (frames, stop_logits, new_att_w)
 
 
@@ -170,12 +208,14 @@ class Tacotron2(nn.Module):
     def setup(self):
         c = self.config
         self.encoder = Tacotron2Encoder(c, name="encoder")
-        self.att_mem_proj = nn.Dense(c.att_dim, use_bias=False, dtype=c.dtype,
+        # AttLoc mlp_enc carries a bias (rnn/attentions.py:330) — unlike the
+        # query/f projections it does not cancel in the softmax
+        self.att_mem_proj = nn.Dense(c.att_dim, dtype=c.dtype,
                                      name="att_mem_proj")
         self.decoder = nn.scan(
             _DecoderStep,
             variable_broadcast="params",
-            split_rngs={"params": False, "dropout": True},
+            split_rngs={"params": False, "dropout": True, "zoneout": True},
             in_axes=1, out_axes=1,
         )(c, name="decoder")
         self.postnet = Postnet(c.n_mels, c.postnet_channels, c.postnet_layers,
@@ -202,7 +242,8 @@ class Tacotron2(nn.Module):
         )
         processed = self.att_mem_proj(memory)
         return (
-            lstm_states, att_w, jnp.zeros((b, c.n_mels), c.dtype),
+            lstm_states, att_w, jnp.zeros_like(att_w),
+            jnp.zeros((), jnp.int32), jnp.zeros((b, c.n_mels), c.dtype),
             jnp.zeros((b,), bool), jnp.zeros((b,), jnp.int32),
             memory, processed, mask,
         )
@@ -306,7 +347,7 @@ class Tacotron2(nn.Module):
         final, (frames, stop_logits, att_ws) = self.decoder(
             carry, (dummy, use_teacher)
         )
-        n_steps = final[4]
+        n_steps = final[6]
         mel_before = frames.reshape(b, n_dec * r, c.n_mels)
         mel_post = mel_before + self.postnet(mel_before, True)
         out_lens = n_steps * r

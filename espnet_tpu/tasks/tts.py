@@ -195,7 +195,7 @@ class TTSTask(AbsTask):
                 resume=run.resume,
             ),
             batch_arg_names=tuple(batch_args),
-            rng_names=("dropout", "specaug", "prenet", "diffusion"),
+            rng_names=("dropout", "specaug", "prenet", "diffusion", "zoneout"),
         )
         batch0 = next(train_iter.epoch(0))
         batch0.pop("keys", None)

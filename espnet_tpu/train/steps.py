@@ -70,13 +70,28 @@ def make_train_step(
         rngs = {
             name: jax.random.fold_in(rng, i) for i, name in enumerate(rng_names)
         }
-        loss, stats = model.apply(
-            {"params": params, **extra_vars},
-            *[batch[k] for k in batch_arg_names],
-            deterministic=False,
-            rngs=rngs,
-        )
-        return loss, stats
+        # 'batch_stats' (BatchNorm running averages, e.g. the TTS postnet)
+        # mutates during the forward pass; other collections (mvn, ...) are
+        # read-only at train time.
+        mutable = [k for k in extra_vars if k == "batch_stats"]
+        if mutable:
+            (loss, stats), updated = model.apply(
+                {"params": params, **extra_vars},
+                *[batch[k] for k in batch_arg_names],
+                deterministic=False,
+                rngs=rngs,
+                mutable=mutable,
+            )
+            new_extra = {**extra_vars, **updated}
+        else:
+            loss, stats = model.apply(
+                {"params": params, **extra_vars},
+                *[batch[k] for k in batch_arg_names],
+                deterministic=False,
+                rngs=rngs,
+            )
+            new_extra = extra_vars
+        return loss, (stats, new_extra)
 
     def compute_grads(params, extra_vars, batch, rng):
         if accum_steps <= 1:
@@ -101,40 +116,40 @@ def make_train_step(
         }
 
         def body(carry, xs):
-            grads_acc, loss_acc, stats_acc = carry
+            grads_acc, loss_acc, stats_acc, extra = carry
             mb, i = xs
-            (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, extra_vars, mb, jax.random.fold_in(rng, i)
-            )
+            (loss, (stats, extra)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params, extra, mb, jax.random.fold_in(rng, i))
             grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
             stats_acc = jax.tree_util.tree_map(
                 jnp.add, stats_acc,
                 {k: jnp.asarray(v, jnp.float32) for k, v in stats.items()},
             )
-            return (grads_acc, loss_acc + loss, stats_acc), None
+            return (grads_acc, loss_acc + loss, stats_acc, extra), None
 
         # trace once to get stat structure (shapes are micro-batch shapes)
         mb0 = jax.tree_util.tree_map(lambda v: v[0], micro)
-        _, stats0 = jax.eval_shape(
+        _, (stats0, _) = jax.eval_shape(
             lambda p: loss_fn(p, extra_vars, mb0, rng), params
         )
         zeros_g = jax.tree_util.tree_map(
             lambda p: jnp.zeros(p.shape, p.dtype), params
         )
         zeros_s = {k: jnp.zeros((), jnp.float32) for k in stats0}
-        (grads, loss, stats), _ = jax.lax.scan(
+        (grads, loss, stats, new_extra), _ = jax.lax.scan(
             body,
-            (zeros_g, jnp.zeros((), jnp.float32), zeros_s),
+            (zeros_g, jnp.zeros((), jnp.float32), zeros_s, extra_vars),
             (micro, jnp.arange(n_micro)),
         )
         inv = 1.0 / n_micro
         grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
         stats = {k: v * inv for k, v in stats.items()}
-        return (loss * inv, stats), grads
+        return (loss * inv, (stats, new_extra)), grads
 
     def train_step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
-        (loss, stats), grads = compute_grads(
+        (loss, (stats, new_extra)), grads = compute_grads(
             state.params, state.extra_vars, batch, rng
         )
         gnorm = global_norm(grads)
@@ -146,15 +161,16 @@ def make_train_step(
         updates, new_opt_state = tx.update(safe_grads, state.opt_state,
                                            state.params)
         new_params = optax.apply_updates(state.params, updates)
-        new_params, new_opt_state = jax.tree_util.tree_map(
+        new_params, new_opt_state, new_extra = jax.tree_util.tree_map(
             lambda new, old: jnp.where(finite, new, old),
-            (new_params, new_opt_state),
-            (state.params, state.opt_state),
+            (new_params, new_opt_state, new_extra),
+            (state.params, state.opt_state, state.extra_vars),
         )
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,
             opt_state=new_opt_state,
+            extra_vars=new_extra,
         )
         stats = dict(stats)
         stats["grad_norm"] = gnorm

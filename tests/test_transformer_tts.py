@@ -29,17 +29,19 @@ def test_forward_backward():
     mlens = jnp.array([16, 12])
     params = model.init({"params": rng, "prenet": rng, "dropout": rng},
                         text, tlens, mel, mlens, False)
-    loss, stats, mel_post = model.apply(
+    (loss, stats, mel_post), _ = model.apply(
         params, text, tlens, mel, mlens, False,
         rngs={"prenet": jax.random.PRNGKey(1),
               "dropout": jax.random.PRNGKey(11)},
+        mutable=["batch_stats"],
     )
     assert np.isfinite(float(loss))
     assert mel_post.shape == mel.shape
     g = jax.grad(
         lambda p: model.apply(p, text, tlens, mel, mlens, False,
                               rngs={"prenet": jax.random.PRNGKey(2),
-                                    "dropout": jax.random.PRNGKey(12)})[0]
+                                    "dropout": jax.random.PRNGKey(12)},
+                              mutable=["batch_stats"])[0][0]
     )(params)
     mx = jax.tree_util.tree_reduce(
         lambda a, x: jnp.maximum(a, jnp.max(jnp.abs(x))), g, 0.0)
