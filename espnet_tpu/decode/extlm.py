@@ -229,3 +229,142 @@ class LookAheadWordLM:
                            jnp.zeros_like(fresh))
 
         return score
+
+
+class MultiLevelLM:
+    """`extlm.py:18` (MultiLevelLM) as a batched jit-safe scorer: a
+    character LM scores within-word transitions (scaled by
+    `subwordlm_weight`) and at word boundaries the accumulated char
+    log-prob is *substituted* by the word LM's log-prob
+    (prob-substitution). <space>/<eos> columns carry
+    `wordlm_logprob(word) - accumulated_char_logprob` for word-end nodes,
+    `wordlm_logprob(<unk>) + log(oov_penalty)` otherwise, and logzero right
+    after a boundary.
+
+    Both LMs plug in as pos-free step functions
+    `step(cache, tokens (B,)) -> (logits (B, V), cache)`.
+
+    cache = (clm_cache, wlm_cache, wlm_logprobs (B, Vw), node (B,),
+             prev_log_y (B, C), clm_logprob (B,), fresh (B,)).
+    The reference's `final()` (word-LM <eos> score at hypothesis end) is a
+    beam-search-level hook; here the <eos> column carries the same
+    substitution score as <space> (reference `forward` parity).
+    """
+
+    def __init__(
+        self,
+        wordlm_step: Callable,
+        wordlm_cache_init: Callable[[int], any],
+        subwordlm_step: Callable,
+        subwordlm_cache_init: Callable[[int], any],
+        tree: LexicalTree,
+        word_eos: int,
+        word_unk: int,
+        space: int,
+        eos: int,
+        subword_size: int,
+        subwordlm_weight: float = 0.8,
+        oov_penalty: float = 1.0,
+        open_vocab: bool = True,
+    ):
+        self.wordlm_step = wordlm_step
+        self.wordlm_cache_init = wordlm_cache_init
+        self.clm_step = subwordlm_step
+        self.clm_cache_init = subwordlm_cache_init
+        self.tree = jax.tree_util.tree_map(jnp.asarray, tree)
+        self.word_eos = word_eos
+        self.word_unk = word_unk
+        self.space = space
+        self.eos = eos
+        self.c_size = subword_size
+        self.weight = subwordlm_weight
+        self.log_oov = float(np.log(oov_penalty))
+        self.open_vocab = open_vocab
+
+    def init_cache(self, b: int):
+        wlm_cache = self.wordlm_cache_init(b)
+        logits, wlm_cache = self.wordlm_step(
+            wlm_cache, jnp.full((b,), self.word_eos, jnp.int32)
+        )
+        wlm_logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+        clm_cache = self.clm_cache_init(b)
+        return (clm_cache, wlm_cache, wlm_logprobs,
+                jnp.zeros((b,), jnp.int32),
+                jnp.zeros((b, self.c_size), jnp.float32),
+                jnp.zeros((b,), jnp.float32),
+                jnp.ones((b,), bool))
+
+    def make_score_fn(self):
+        tree = self.tree
+        space, eos = self.space, self.eos
+        unk = self.word_unk
+
+        def merge(flag, new, old):
+            return jax.tree_util.tree_map(
+                lambda n, o: jnp.where(
+                    flag.reshape(flag.shape + (1,) * (n.ndim - 1)), n, o
+                ),
+                new, old,
+            )
+
+        def score(tokens, pos, cache):
+            del pos
+            (clm_cache, wlm_cache, wlm_logprobs, node, prev_log_y,
+             clm_logprob, fresh) = cache
+            xi = tokens.astype(jnp.int32)
+            b = xi.shape[0]
+            boundary = (xi == space) & ~fresh
+
+            # inter-word: feed the finished word (unk when the node is not
+            # a word end); fresh rows were already primed with <eos> in
+            # init_cache and only reset the tree position
+            node_safe = jnp.maximum(node, 0)
+            wid = jnp.where(node >= 0, tree.word_id[node_safe], -1)
+            w = jnp.where(wid >= 0, wid, unk)
+            z_wlm, wlm_cache_new = self.wordlm_step(wlm_cache, w)
+            wlm_logprobs_new = jax.nn.log_softmax(
+                z_wlm.astype(jnp.float32), -1)
+            wlm_logprobs = jnp.where(
+                boundary[:, None], wlm_logprobs_new, wlm_logprobs)
+            wlm_cache = merge(boundary, wlm_cache_new, wlm_cache)
+
+            # tree transition + char-logprob accumulation (intra-word)
+            child = jnp.where(
+                node >= 0,
+                tree.children[node_safe, jnp.clip(xi, 0, self.c_size - 1)],
+                -1,
+            )
+            reset = boundary | fresh
+            new_node = jnp.where(reset, 0, child)  # -1 = open-vocab mode
+            step_lp = jnp.take_along_axis(
+                prev_log_y, xi[:, None], 1)[:, 0]
+            clm_logprob = jnp.where(reset, 0.0, clm_logprob + step_lp)
+            if self.open_vocab:
+                dead = jnp.zeros_like(reset)
+            else:
+                dead = (~reset) & (child < 0)
+
+            # char LM step (always, reference extlm.py:85-86)
+            z_clm, clm_cache = self.clm_step(clm_cache, xi)
+            log_y = jax.nn.log_softmax(
+                z_clm.astype(jnp.float32), -1) * self.weight
+
+            # word-level substitution on <space>/<eos> columns
+            nn_safe = jnp.maximum(new_node, 0)
+            wid_new = jnp.where(new_node >= 0, tree.word_id[nn_safe], -1)
+            sub = jnp.where(
+                wid_new >= 0,
+                jnp.take_along_axis(
+                    wlm_logprobs, jnp.maximum(wid_new, 0)[:, None], 1
+                )[:, 0] - clm_logprob,
+                wlm_logprobs[:, unk] + self.log_oov,
+            )
+            col = jnp.where(reset, LOGZERO, sub)
+            log_y = log_y.at[:, space].set(col)
+            log_y = log_y.at[:, eos].set(col)
+            log_y = jnp.where(dead[:, None], LOGZERO, log_y)
+
+            return log_y, (clm_cache, wlm_cache, wlm_logprobs, new_node,
+                           log_y, clm_logprob, jnp.zeros_like(fresh))
+
+        return score

@@ -144,3 +144,65 @@ def test_lexical_tree_ranges():
     g = tree.children[0, SUBWORD_DICT["g"]]
     go = tree.children[g, SUBWORD_DICT["o"]]
     assert tree.word_id[go] == WORD_DICT["go"]
+
+
+class FakeTorchCharLM(torch.nn.Module):
+    """Bigram-table char LM with the reference (state, x) protocol; state
+    counts steps so statefulness is exercised."""
+
+    def __init__(self, table):
+        super().__init__()
+        self.table = torch.from_numpy(table)
+
+    def forward(self, state, x):
+        n = 0 if state is None else state
+        return n + 1, self.table[x.view(-1)] + 0.01 * float(n)
+
+
+def test_multilevel_parity_stepwise():
+    from espnet.lm.pytorch_backend.extlm import MultiLevelLM as TorchML
+
+    from espnet_tpu.decode.extlm import MultiLevelLM
+
+    rng = np.random.RandomState(1)
+    wtable = (rng.randn(VW, VW) * 1.5).astype(np.float32)
+    ctable = (rng.randn(VC, VC) * 1.2).astype(np.float32)
+
+    ref_lm = TorchML(
+        FakeTorchWordLM(wtable), FakeTorchCharLM(ctable), WORD_DICT,
+        SUBWORD_DICT, subwordlm_weight=0.8, oov_penalty=0.3, open_vocab=True,
+    )
+    tree = make_lexical_tree(WORD_DICT, SUBWORD_DICT, WORD_DICT["<unk>"])
+
+    def wordlm_step(cache, words):
+        return jnp.asarray(wtable)[words], cache
+
+    def clm_step(cache, toks):
+        return (jnp.asarray(ctable)[toks] + 0.01 * cache), cache + 1.0
+
+    ml = MultiLevelLM(
+        wordlm_step, lambda b: jnp.zeros((b, 1)),
+        clm_step, lambda b: jnp.zeros((b,), jnp.float32),
+        tree, word_eos=WORD_DICT["<eos>"], word_unk=WORD_DICT["<unk>"],
+        space=SUBWORD_DICT["<space>"], eos=SUBWORD_DICT["<eos>"],
+        subword_size=VC, subwordlm_weight=0.8, oov_penalty=0.3,
+        open_vocab=True,
+    )
+    score = ml.make_score_fn()
+
+    seq = (list("ichi") + ["<space>"] + list("go") + ["<space>"]
+           + list("ac") + ["<space>"] + list("ni") + ["<space>"])
+    toks = [SUBWORD_DICT["<eos>"]] + [SUBWORD_DICT[c] for c in seq]
+
+    cache = ml.init_cache(1)
+    ref_state = None
+    for step_i, t in enumerate(toks):
+        got, cache = score(jnp.asarray([t], jnp.int32), 0, cache)
+        ref_state, ref_y = ref_lm(ref_state, torch.LongTensor([t]))
+        # same reference init typo as LookAheadWordLM: var_word_unk is set
+        # to the <eos> tensor; re-point it to test intended semantics
+        ref_lm.var_word_unk = torch.LongTensor([WORD_DICT["<unk>"]])
+        np.testing.assert_allclose(
+            np.asarray(got)[0], ref_y.numpy()[0], rtol=1e-4, atol=1e-4,
+            err_msg=f"step {step_i} token {t}",
+        )
