@@ -42,7 +42,8 @@ def get_parser():
     p.add_argument("--penalty", type=float, default=0.0)
     p.add_argument("--maxlenratio", type=float, default=0.0)
     p.add_argument("--minlenratio", type=float, default=0.0)
-    p.add_argument("--max_steps", type=int, default=160)
+    p.add_argument("--max_steps", type=int, default=0,
+                   help="hard cap on decode steps (0 = encoder length)")
     p.add_argument("--nbest", type=int, default=1)
     p.add_argument("--batch_size", type=int, default=8)
     return p

@@ -50,7 +50,7 @@ class Speech2Text:
         penalty: float = 0.0,
         maxlenratio: float = 0.0,
         minlenratio: float = 0.0,
-        max_steps: int = 128,
+        max_steps: int = 0,
     ):
         self.model = model
         self.variables = {"params": params, **(extra_vars or {})}
@@ -94,6 +94,18 @@ class Speech2Text:
         model, variables = self.model, self.variables
         b = enc.shape[0]
         w = self.cfg.beam_size
+        # hypothesis-length budget: reference semantics (beam_search.py
+        # maxlenratio==0 -> maxlen = encoder length); max_steps>0 is a hard
+        # cap on top. enc.shape[1] is static per shape bucket, so each
+        # bucket compiles its own right-sized search program instead of a
+        # global 128-step cap silently truncating long utterances.
+        steps = enc.shape[1]
+        if self.cfg.maxlenratio > 0:
+            import math
+
+            steps = max(1, int(math.ceil(self.cfg.maxlenratio * steps)))
+        if self.max_steps:
+            steps = min(steps, self.max_steps)
         use_ctc = self.cfg.ctc_weight > 0
         if use_ctc and ctc_lp is None:
             ctc_lp = model.apply(
@@ -105,7 +117,7 @@ class Speech2Text:
         mem = jnp.repeat(enc, w, axis=0)
         mem_lens = jnp.repeat(enc_lens, w, axis=0)
         att_cache = model.apply(
-            variables, b * w, self.max_steps + 1, mem, mem_lens,
+            variables, b * w, steps + 1, mem, mem_lens,
             method=type(model).decoder_init_cache,
         )
 
@@ -119,7 +131,7 @@ class Speech2Text:
         lm_cache = None
         if self.lm_model is not None and self.cfg.lm_weight > 0:
             lm_cache = self.lm_model.apply(
-                self.lm_variables, b * w, self.max_steps + 1,
+                self.lm_variables, b * w, steps + 1,
                 method=type(self.lm_model).init_cache,
             )
 
@@ -155,7 +167,7 @@ class Speech2Text:
             ctc_log_probs=ctc_lp,
             lm_score_fn=lm_score_fn,
             lm_cache_init=lm_cache,
-            max_steps=self.max_steps,
+            max_steps=steps,
         )
 
     def __call__(

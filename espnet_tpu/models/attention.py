@@ -46,6 +46,7 @@ def scaled_dot_attention(
     v: jnp.ndarray,
     bias: Optional[jnp.ndarray],
     extra_score: Optional[jnp.ndarray] = None,
+    return_weights: bool = False,
 ) -> jnp.ndarray:
     """q,k,v: (B, H, T, Dk). bias: broadcastable to (B, H, Tq, Tk)."""
     d_k = q.shape[-1]
@@ -56,7 +57,10 @@ def scaled_dot_attention(
     if bias is not None:
         scores = scores + bias.astype(jnp.float32)
     weights = nn.softmax(scores, axis=-1)
-    return jnp.einsum("bhqk,bhkd->bhqd", weights.astype(v.dtype), v)
+    out = jnp.einsum("bhqk,bhkd->bhqd", weights.astype(v.dtype), v)
+    if return_weights:
+        return out, weights
+    return out
 
 
 class MultiHeadAttention(nn.Module):
@@ -127,6 +131,12 @@ class MultiHeadAttention(nn.Module):
             from espnet_tpu.ops.pallas_attention import flash_attention
 
             x = flash_attention(q, k, v, bias)
+        elif self.is_mutable_collection("intermediates"):
+            # attention-heatmap capture (reference trainer plot_attention,
+            # `espnet2/train/trainer.py:787`): weights are sown only when
+            # the caller applies with mutable=["intermediates"]
+            x, w = scaled_dot_attention(q, k, v, bias, return_weights=True)
+            self.sow("intermediates", "attn", w)
         else:
             x = scaled_dot_attention(q, k, v, bias)
         b, h, t, dk = x.shape

@@ -23,6 +23,7 @@ from espnet_tpu.models.attention import RelPositionMultiHeadAttention
 from espnet_tpu.models.embedding import rel_position_encoding
 from espnet_tpu.models.subsampling import Conv2dSubsampling
 from espnet_tpu.models.transformer import PositionwiseFeedForward
+from espnet_tpu.ops.dropout import FastDropout
 from espnet_tpu.ops.masks import attention_bias, make_valid_mask
 
 
@@ -75,7 +76,7 @@ class ConformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, pos_emb, bias, pad_mask, deterministic: bool = True):
-        drop = nn.Dropout(self.dropout_rate)
+        drop = FastDropout(self.dropout_rate)
         # Macaron FF 1 (scaled 1/2)
         h = nn.LayerNorm(dtype=self.dtype, name="norm_ff1")(x)
         h = PositionwiseFeedForward(self.d_model, self.d_ff, self.dropout_rate,
@@ -130,7 +131,7 @@ class ConformerEncoder(nn.Module):
             self.d_model, self.subsampling_factor, dtype=self.dtype, name="embed"
         )(feats, lengths)
         x = x * jnp.asarray(self.d_model ** 0.5, x.dtype)
-        x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+        x = FastDropout(self.dropout_rate)(x, deterministic=deterministic)
         t = x.shape[1]
         pos_emb = rel_position_encoding(t, self.d_model, self.dtype)
         pad_mask = make_valid_mask(olens, t)

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from espnet_tpu.models.attention import MultiHeadAttention
 from espnet_tpu.models.embedding import add_positional_encoding
 from espnet_tpu.models.subsampling import Conv2dSubsampling
+from espnet_tpu.ops.dropout import FastDropout
 from espnet_tpu.ops.masks import attention_bias, make_valid_mask, subsequent_mask
 
 
@@ -41,7 +42,7 @@ class PositionwiseFeedForward(nn.Module):
             ),
         )(x)
         h = nn.relu(h) if self.activation == "relu" else nn.swish(h)
-        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        h = FastDropout(self.dropout_rate)(h, deterministic=deterministic)
         return nn.Dense(
             self.d_model,
             dtype=self.dtype,
@@ -62,7 +63,7 @@ class TransformerEncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, bias, deterministic: bool = True):
-        drop = nn.Dropout(self.dropout_rate)
+        drop = FastDropout(self.dropout_rate)
         h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
         h = MultiHeadAttention(self.num_heads, self.d_model, self.dtype,
                                name="self_attn")(h, h, h, bias)
@@ -96,7 +97,7 @@ class TransformerEncoder(nn.Module):
             self.d_model, self.subsampling_factor, dtype=self.dtype, name="embed"
         )(feats, lengths)
         x = add_positional_encoding(x)
-        x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+        x = FastDropout(self.dropout_rate)(x, deterministic=deterministic)
         mask = make_valid_mask(olens, x.shape[1])  # (B, T')
         bias = attention_bias(mask[:, None, None, :])  # (B, 1, 1, T')
         intermediates = []
@@ -131,7 +132,7 @@ class TransformerDecoderLayer(nn.Module):
         cache: Optional[dict] = None,
         cache_index: Optional[jnp.ndarray] = None,
     ):
-        drop = nn.Dropout(self.dropout_rate)
+        drop = FastDropout(self.dropout_rate)
         h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
         attn = MultiHeadAttention(self.num_heads, self.d_model, self.dtype,
                                   name="self_attn")
@@ -195,7 +196,7 @@ class TransformerDecoder(nn.Module):
                 nn.initializers.xavier_uniform(), ("embed", "vocab")
             ),
         )
-        self.dropout = nn.Dropout(self.dropout_rate)
+        self.dropout = FastDropout(self.dropout_rate)
 
     def __call__(self, tokens, token_lengths, memory, memory_lengths,
                  deterministic: bool = True):

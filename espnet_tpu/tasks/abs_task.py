@@ -45,6 +45,12 @@ class RunConfig:
     stats_only: bool = False
     # comma-separated init_param specs "path:src:dst:excludes"
     init_param: str = ""
+    # per-epoch attention-heatmap PNGs from one validation batch
+    # (`espnet2/train/trainer.py:787`)
+    plot_attention: bool = False
+    # Weights & Biases logging (--use_wandb, `espnet2/tasks/abs_task.py:1305`)
+    use_wandb: bool = False
+    wandb_project: str = ""
     ngpu_note: str = "unused — device parallelism is via jax mesh"
 
 

@@ -212,6 +212,9 @@ class ASRTask(AbsTask):
                 init_param=tuple(
                     s for s in run.init_param.split(",,") if s
                 ),
+                plot_attention=run.plot_attention,
+                use_wandb=run.use_wandb,
+                wandb_project=run.wandb_project,
             ),
         )
         batch0 = next(train_iter.epoch(0))

@@ -193,6 +193,9 @@ class TTSTask(AbsTask):
                 keep_nbest=run.keep_nbest, best_metric=(phase, key, mode),
                 log_interval=run.log_interval, seed=run.seed,
                 resume=run.resume,
+                plot_attention=run.plot_attention,
+                use_wandb=run.use_wandb,
+                wandb_project=run.wandb_project,
             ),
             batch_arg_names=tuple(batch_args),
             rng_names=("dropout", "specaug", "prenet", "diffusion", "zoneout"),

@@ -165,3 +165,38 @@ class TensorboardLogger:
     def close(self):
         if self.writer is not None:
             self.writer.close()
+
+
+class WandbLogger:
+    """Per-epoch Weights & Biases logging (reference
+    `espnet2/train/trainer.py` wandb emit, enabled by --use_wandb at
+    `espnet2/tasks/abs_task.py:1305`); no-op when wandb is unavailable
+    (it is not baked into this image — gated import, never a hard dep)."""
+
+    def __init__(self, enabled: bool, project: str = "", name: str = "",
+                 config: dict = None):
+        self.run = None
+        if not enabled:
+            return
+        try:
+            import wandb
+
+            self.run = wandb.init(
+                project=project or "espnet-tpu", name=name or None,
+                config=config or {}, resume="allow",
+            )
+        except Exception as e:  # pragma: no cover - wandb not installed
+            import logging
+
+            logging.getLogger("espnet_tpu").warning(
+                "wandb unavailable, disabling: %s", e)
+
+    def log_epoch(self, epoch: int, phase: str, stats: Dict[str, float]):
+        if self.run is None:
+            return
+        self.run.log({f"{phase}/{k}": v for k, v in stats.items()},
+                     step=epoch)
+
+    def close(self):
+        if self.run is not None:
+            self.run.finish()

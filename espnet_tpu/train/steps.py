@@ -186,14 +186,18 @@ def make_eval_step(
         "speech", "speech_lengths", "text", "text_lengths",
     ),
 ) -> Callable:
-    def eval_step(state: TrainState, batch):
-        # fixed rng: some modules sample even in eval (tacotron2's prenet
-        # keeps dropout on by design)
+    def eval_step(state: TrainState, batch, rng=None):
+        # rng defaults to a fixed key so eval is reproducible across runs;
+        # the trainer folds in the batch index so modules that sample even
+        # in eval (tacotron2's always-on prenet dropout) see a fresh mask
+        # per batch instead of one frozen pattern
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
         loss, stats = model.apply(
             {"params": state.params, **state.extra_vars},
             *[batch[k] for k in batch_arg_names],
             deterministic=True,
-            rngs={"dropout": jax.random.PRNGKey(0)},
+            rngs={"dropout": rng, "prenet": jax.random.fold_in(rng, 1)},
         )
         return stats
 

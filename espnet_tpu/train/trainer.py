@@ -42,6 +42,12 @@ class TrainerOptions:
     # partial pretrained transfer specs "path:src:dst:excludes"
     # (`espnet2/torch_utils/load_pretrained_model.py`)
     init_param: tuple = ()
+    # per-epoch attention-heatmap dumps on one validation batch
+    # (`espnet2/train/trainer.py:787` plot_attention)
+    plot_attention: bool = False
+    # Weights & Biases scalar logging (--use_wandb, abs_task.py:1305)
+    use_wandb: bool = False
+    wandb_project: str = ""
 
 
 class Trainer:
@@ -62,6 +68,9 @@ class Trainer:
         self.ckpt = CheckpointManager(out_dir, options.keep_nbest)
         self.reporter = Reporter()
         self.tb = TensorboardLogger(out_dir)
+        from espnet_tpu.train.reporter import WandbLogger
+
+        self.wandb = WandbLogger(options.use_wandb, options.wandb_project)
         self.train_step = make_train_step(model, tx,
                                           rng_names=rng_names,
                                           batch_arg_names=batch_arg_names,
@@ -163,19 +172,33 @@ class Trainer:
             _flush()
             train_stats = self.reporter.finish_phase(sub)
             self.tb.log_epoch(epoch, "train", train_stats)
+            self.wandb.log_epoch(epoch, "train", train_stats)
 
             # ---- valid phase ----
             if valid_iter is not None:
                 sub = SubReporter("valid", epoch)
-                for batch in valid_iter.epoch(epoch):
+                plot_batch = None
+                for bi, batch in enumerate(valid_iter.epoch(epoch)):
+                    if plot_batch is None:
+                        plot_batch = batch
                     batch = self.device_put(
                         {k: v for k, v in batch.items() if k != "keys"}
                     )
-                    stats = jax.device_get(self.eval_step(state, batch))
+                    stats = jax.device_get(self.eval_step(
+                        state, batch, jax.random.PRNGKey(bi)))
                     sub.register(stats, weight=len(batch[self.batch_arg_names[0]]))
-                self.tb.log_epoch(
-                    epoch, "valid", self.reporter.finish_phase(sub)
-                )
+                valid_stats = self.reporter.finish_phase(sub)
+                self.tb.log_epoch(epoch, "valid", valid_stats)
+                self.wandb.log_epoch(epoch, "valid", valid_stats)
+                if opts.plot_attention and plot_batch is not None:
+                    from espnet_tpu.train.plot import dump_attention_plots
+
+                    dump_attention_plots(
+                        self.model,
+                        {"params": state.params, **state.extra_vars},
+                        plot_batch, self.out_dir, epoch,
+                        self.batch_arg_names, tb=self.tb,
+                    )
 
             for hook in hooks:
                 hook(self, state, epoch)
@@ -204,6 +227,7 @@ class Trainer:
                 break
         matplotlib_plot(self.reporter, self.out_dir)
         self.tb.close()
+        self.wandb.close()
         # n-best average
         phase, key, mode = opts.best_metric
         if valid_iter is None:
