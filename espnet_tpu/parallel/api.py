@@ -23,11 +23,20 @@ from espnet_tpu.train.steps import TrainState
 
 
 def state_shardings(
-    boxed_state: TrainState, mesh: Mesh, rules=DEFAULT_RULES
+    boxed_state: TrainState, mesh: Mesh, rules=DEFAULT_RULES,
+    zero: bool = False,
 ) -> TrainState:
     """NamedSharding tree for a *boxed* TrainState (params still carrying
     `nn.LogicallyPartitioned` metadata from init). The returned tree matches
     the *unboxed* state structure; everything unannotated is replicated.
+
+    ``zero=True`` additionally shards the optimizer-state tensors (Adam
+    moments etc.) over the 'data' mesh axis — ZeRO-1 optimizer-state
+    partitioning, the fairscale OSS role in the reference
+    (SURVEY §2.6/§2.7): each moment tensor takes the 'data' axis on its
+    first dimension that is unsharded and divisible, XLA inserting the
+    reduce-scatter/all-gather around the update. Parameters and gradients
+    keep their TP layout (ZeRO-1, not ZeRO-3).
     """
     logical_specs = nn.get_partition_spec(boxed_state)
     mesh_specs = nn.logical_to_mesh(logical_specs, rules)
@@ -37,10 +46,33 @@ def state_shardings(
             spec = P()
         return NamedSharding(mesh, spec)
 
-    return jax.tree_util.tree_map(
+    shardings = jax.tree_util.tree_map(
         to_sharding, mesh_specs,
         is_leaf=lambda x: isinstance(x, P) or x is None,
     )
+    if zero and "data" in mesh.shape and mesh.shape["data"] > 1:
+        data_size = mesh.shape["data"]
+        unboxed = nn.meta.unbox(boxed_state)
+
+        def zero_spec(sharding, leaf):
+            shape = getattr(leaf, "shape", ())
+            parts = list(sharding.spec) if sharding.spec else []
+            parts += [None] * (len(shape) - len(parts))
+            used = {p for p in parts if p is not None}
+            if "data" in used or not shape:
+                return sharding
+            for i, (ax, dim) in enumerate(zip(parts, shape)):
+                if ax is None and dim % data_size == 0:
+                    parts[i] = "data"
+                    return NamedSharding(mesh, P(*parts))
+            return sharding  # too small to split: stays replicated
+
+        shardings = shardings.replace(
+            opt_state=jax.tree_util.tree_map(
+                zero_spec, shardings.opt_state, unboxed.opt_state
+            )
+        )
+    return shardings
 
 
 def shard_state(boxed_state: TrainState, shardings: TrainState) -> TrainState:

@@ -26,9 +26,20 @@ def init_distributed(
 ) -> None:
     """Multi-host bring-up (replaces init_torch_distributed,
     `distributed_utils.py:86`). Arguments default from the standard env
-    (JAX_COORDINATOR_ADDRESS etc. / TPU metadata); no-op when single-host."""
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID, as set
+    by `bin/launch.py`, or TPU metadata); no-op when single-host."""
+    import os
+
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
     if num_processes is not None and num_processes <= 1:
         return
+    if coordinator_address is None and num_processes is None:
+        return  # single-host, nothing to do
     kwargs = {}
     if coordinator_address:
         kwargs["coordinator_address"] = coordinator_address

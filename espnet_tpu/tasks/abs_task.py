@@ -51,6 +51,8 @@ class RunConfig:
     # Weights & Biases logging (--use_wandb, `espnet2/tasks/abs_task.py:1305`)
     use_wandb: bool = False
     wandb_project: str = ""
+    # jax.profiler trace of N steady-state steps of the first epoch
+    profile_steps: int = 0
     ngpu_note: str = "unused — device parallelism is via jax mesh"
 
 

@@ -215,6 +215,7 @@ class ASRTask(AbsTask):
                 plot_attention=run.plot_attention,
                 use_wandb=run.use_wandb,
                 wandb_project=run.wandb_project,
+                profile_steps=run.profile_steps,
             ),
         )
         batch0 = next(train_iter.epoch(0))

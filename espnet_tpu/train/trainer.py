@@ -48,6 +48,11 @@ class TrainerOptions:
     # Weights & Biases scalar logging (--use_wandb, abs_task.py:1305)
     use_wandb: bool = False
     wandb_project: str = ""
+    # capture a jax.profiler trace of steps [2, 2+profile_steps) of epoch 1
+    # into <out>/profile (TensorBoard-viewable) — the XLA-native equivalent
+    # of the reference's torch.profiler hook (`espnet2/train/trainer.py`
+    # TrainerOptions.use_profiler). 0 disables.
+    profile_steps: int = 0
 
 
 class Trainer:
@@ -158,7 +163,22 @@ class Trainer:
                 pending.clear()
                 t_win = time.perf_counter()
 
+            profiling = False
             for i, batch in enumerate(train_iter.epoch(epoch), 1):
+                if opts.profile_steps and epoch == start_epoch:
+                    # skip step 1 (compile); trace a steady-state window
+                    if i == 2:
+                        try:
+                            jax.profiler.start_trace(
+                                str(self.out_dir) + "/profile")
+                            profiling = True
+                        except Exception as e:  # pragma: no cover
+                            logger.warning("profiler unavailable: %s", e)
+                    elif profiling and i == 2 + opts.profile_steps:
+                        jax.profiler.stop_trace()
+                        profiling = False
+                        logger.info("profile trace written to %s/profile",
+                                    self.out_dir)
                 batch = self.device_put(
                     {k: v for k, v in batch.items() if k != "keys"}
                 )
@@ -170,6 +190,8 @@ class Trainer:
                     _flush()
                     logger.info(sub.log_message(i, n_steps))
             _flush()
+            if profiling:  # short epoch: close the trace cleanly
+                jax.profiler.stop_trace()
             train_stats = self.reporter.finish_phase(sub)
             self.tb.log_epoch(epoch, "train", train_stats)
             self.wandb.log_epoch(epoch, "train", train_stats)

@@ -129,3 +129,48 @@ def test_sampler_size_multiple():
     assert all(len(b.keys) % 4 == 0 for b in batches)
     assert len(set(covered)) == len(covered)
     assert len(covered) == 36  # 37 -> one tail utterance dropped
+
+
+def test_zero_optimizer_state_sharding():
+    """ZeRO-1: optimizer moments shard over the data axis and the training
+    math is unchanged (reference fairscale-OSS role, SURVEY §2.6)."""
+    import flax.linen as nn
+    from jax.sharding import PartitionSpec as P
+
+    model, tx, boxed_state, batch = _setup(b=8, optimizer="sgd")
+    raw_state = nn.meta.unbox(boxed_state)
+    step = make_train_step(model, tx, donate=False)
+
+    # baseline: plain DP
+    mesh = make_mesh(2)  # data=4, model=2
+    base_sh = state_shardings(boxed_state, mesh)
+    s_base = shard_state(boxed_state, base_sh)
+    db = make_batch_put(mesh)(batch)
+    with mesh:
+        s_base, stats_base = step(s_base, db, jax.random.PRNGKey(1))
+
+    zero_sh = state_shardings(boxed_state, mesh, zero=True)
+    # at least one optimizer-state tensor actually takes the data axis
+    specs = [
+        s.spec for s in jax.tree_util.tree_leaves(
+            zero_sh.opt_state,
+            is_leaf=lambda x: hasattr(x, "spec"),
+        )
+    ]
+    assert any("data" in [p for p in sp if p] for sp in specs if sp), specs
+    # params keep their non-ZeRO layout
+    assert jax.tree_util.tree_all(
+        jax.tree_util.tree_map(
+            lambda a, b_: a == b_, zero_sh.params, base_sh.params,
+            is_leaf=lambda x: hasattr(x, "spec"),
+        )
+    )
+
+    s_zero = shard_state(boxed_state, zero_sh)
+    with mesh:
+        s_zero, stats_zero = step(s_zero, db, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(
+        float(stats_base["loss"]), float(stats_zero["loss"]), rtol=1e-6)
+    for a, b_ in zip(jax.tree_util.tree_leaves(s_base.params),
+                     jax.tree_util.tree_leaves(s_zero.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
