@@ -33,6 +33,11 @@ from espnet_tpu.ops.masks import attention_bias, make_valid_mask, subsequent_mas
 @dataclasses.dataclass(frozen=True)
 class TransformerTTSConfig:
     vocab_size: int = -1
+    # "text" (token ids) or "feats" (continuous frames — the Voice
+    # Transformer Network VC use, `espnet/nets/pytorch_backend/
+    # e2e_vc_transformer.py:1`, encoder input layer "linear")
+    input_type: str = "text"
+    input_dim: int = 80
     n_mels: int = 80
     d_model: int = 256
     num_heads: int = 4
@@ -81,7 +86,10 @@ class TransformerTTS(nn.Module):
 
     def setup(self):
         c = self.config
-        self.embed = nn.Embed(c.vocab_size, c.d_model, dtype=c.dtype)
+        if c.input_type == "feats":
+            self.embed = nn.Dense(c.d_model, dtype=c.dtype, name="in_proj")
+        else:
+            self.embed = nn.Embed(c.vocab_size, c.d_model, dtype=c.dtype)
         self.enc_layers = [
             TransformerEncoderLayer(c.d_model, c.num_heads, c.d_ff,
                                     c.dropout_rate, dtype=c.dtype,

@@ -15,6 +15,9 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from espnet_tpu.models.tts.tacotron2 import Tacotron2, Tacotron2Config
+from espnet_tpu.models.tts.transformer_tts import (
+    TransformerTTS, TransformerTTSConfig,
+)
 from espnet_tpu.ops.stft import log_mel_spectrogram
 
 
@@ -27,14 +30,28 @@ class VCTaskConfig:
     n_mels: int = 80
     fmin: float = 80.0
     fmax: Optional[float] = 7600.0
+    # "tacotron2" (`e2e_vc_tacotron2.py`) or "transformer" — the Voice
+    # Transformer Network (`espnet/nets/pytorch_backend/e2e_vc_transformer.py:1`)
+    vc_type: str = "tacotron2"
     tacotron2: Optional[Tacotron2Config] = None
+    transformer: Optional[TransformerTTSConfig] = None
 
 
 class VCModel(nn.Module):
     config: VCTaskConfig
 
     def setup(self):
-        self.tts = Tacotron2(self.config.tacotron2)
+        if self.config.vc_type == "transformer":
+            tcfg = self.config.transformer or TransformerTTSConfig()
+            if tcfg.input_type != "feats":
+                import dataclasses as _dc
+
+                tcfg = _dc.replace(tcfg, input_type="feats",
+                                   input_dim=self.config.n_mels,
+                                   n_mels=self.config.n_mels)
+            self.tts = TransformerTTS(tcfg)
+        else:
+            self.tts = Tacotron2(self.config.tacotron2)
 
     def extract_feats(self, speech, speech_lengths):
         c = self.config
@@ -48,7 +65,7 @@ class VCModel(nn.Module):
         c = self.config
         src_mel, src_lens = self.extract_feats(src_speech, src_speech_lengths)
         tgt_mel, tgt_lens = self.extract_feats(speech, speech_lengths)
-        r = c.tacotron2.reduction_factor
+        r = self.tts.config.reduction_factor
         if r > 1:
             t = (tgt_mel.shape[1] // r) * r
             tgt_mel = tgt_mel[:, :t]
@@ -60,5 +77,5 @@ class VCModel(nn.Module):
     def inference(self, src_speech, src_speech_lengths,
                   max_frames: Optional[int] = None):
         src_mel, src_lens = self.extract_feats(src_speech, src_speech_lengths)
-        mel, lens, _ = self.tts.inference(src_mel, src_lens, max_frames)
-        return mel, lens
+        out = self.tts.inference(src_mel, src_lens, max_frames)
+        return out[0], out[1]

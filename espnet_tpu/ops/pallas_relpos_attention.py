@@ -45,23 +45,14 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = float(np.finfo(np.float32).min) / 2
 
 
-def _skew(x: jnp.ndarray, blk: int, interpret: bool) -> jnp.ndarray:
-    """x: (BLK, 2*BLK) -> out[r, c] = x[r, c + BLK-1-r], (BLK, BLK).
+def _butterfly_skew() -> bool:
+    """ESPNET_TPU_RELPOS_SKEW=butterfly swaps the single strided
+    `tpu.dynamic_rotate` for log2(BLK) constant rolls + selects — kept as
+    an A/B escape hatch; the strided rotate measured faster in the full
+    train step on v5e (85.6 vs 101 ms/step at BLK=512)."""
+    import os
 
-    Compiled path: one constant lane-roll plus one *strided* lane-roll
-    (`tpu.dynamic_rotate` with per-sublane offset r) — circular wraparound
-    never contaminates the kept [0, BLK) columns because the source index
-    c + BLK-1-r stays < 2*BLK-1.
-    """
-    w = x.shape[1]
-    if interpret:
-        r = jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 0)
-        c = jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 1)
-        return jnp.take_along_axis(x, c + blk - 1 - r, axis=1)
-    # right-roll each row by (w-blk+1) + r  ==  left-roll by blk-1-r
-    y = pltpu.roll(x, w - blk + 1, 1)
-    y = pltpu.roll(y, 0, 1, stride=1, stride_axis=0)
-    return y[:, :blk]
+    return os.environ.get("ESPNET_TPU_RELPOS_SKEW", "") == "butterfly"
 
 
 def _anti_identity(blk: int, dtype=jnp.float32) -> jnp.ndarray:
@@ -70,14 +61,47 @@ def _anti_identity(blk: int, dtype=jnp.float32) -> jnp.ndarray:
     return (r + c == blk - 1).astype(dtype)
 
 
+def _roll_by_row(x: jnp.ndarray, blk: int) -> jnp.ndarray:
+    """Right-roll row r of x by r lanes via constant rolls + selects."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0)
+    bit = 1
+    while bit < blk:
+        sel = (r & bit) != 0  # (blk, 1) broadcasts over lanes
+        x = jnp.where(sel, pltpu.roll(x, bit, 1), x)
+        bit *= 2
+    return x
+
+
+def _skew(x: jnp.ndarray, blk: int, interpret: bool) -> jnp.ndarray:
+    """x: (BLK, 2*BLK) -> out[r, c] = x[r, c + BLK-1-r], (BLK, BLK).
+
+    Compiled path: one constant lane-roll plus a per-row roll (strided
+    `tpu.dynamic_rotate`, or the butterfly decomposition under the env
+    switch) — circular wraparound never contaminates the kept [0, BLK)
+    columns because the source index c + BLK-1-r stays < 2*BLK-1.
+    """
+    w = x.shape[1]
+    if interpret:
+        r = jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 0)
+        c = jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 1)
+        return jnp.take_along_axis(x, c + blk - 1 - r, axis=1)
+    # right-roll each row by (w-blk+1) + r  ==  left-roll by blk-1-r
+    y = pltpu.roll(x, w - blk + 1, 1)
+    if _butterfly_skew():
+        y = _roll_by_row(y, blk)
+    else:
+        y = pltpu.roll(y, 0, 1, stride=1, stride_axis=0)
+    return y[:, :blk]
+
+
 def _unskew(g: jnp.ndarray, blk: int, interpret: bool) -> jnp.ndarray:
     """Adjoint of `_skew`: g (BLK, BLK) -> (BLK, 2*BLK) with
     out[r, c + BLK-1-r] = g[r, c], zeros elsewhere.
 
-    Compiled path: needs a *decreasing* per-row roll, which the strided
-    rotate can't express directly; rows are flipped with an anti-identity
-    matmul (MXU, trivial FLOPs — Mosaic has no sublane-reverse), rolled
-    with stride +1, and flipped back.
+    Compiled path: the target right-roll of row r by (blk-1-r) decomposes
+    into a constant right-roll by blk-1 followed by a per-row LEFT roll by
+    r, done with the same butterfly as `_roll_by_row` (left roll by `bit`
+    == circular right roll by `w - bit`).
     """
     w = 2 * blk
     gz = jnp.concatenate([g, jnp.zeros((blk, w - blk), g.dtype)], axis=1)
@@ -89,13 +113,27 @@ def _unskew(g: jnp.ndarray, blk: int, interpret: bool) -> jnp.ndarray:
         return jnp.where(
             valid, jnp.take_along_axis(gz, jnp.clip(src, 0, blk - 1), axis=1), 0.0
         )
+    # target: right-roll row r by (blk-1-r) on width w.
+    if _butterfly_skew():
+        # constant right roll by blk-1 + binary per-row LEFT roll by r
+        # (left roll by bit == circular right roll by w - bit)
+        y = pltpu.roll(gz, blk - 1, 1)
+        r = jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0)
+        bit = 1
+        while bit < blk:
+            sel = (r & bit) != 0
+            y = jnp.where(sel, pltpu.roll(y, w - bit, 1), y)
+            bit *= 2
+        return y
+    # strided path: rows flipped with an anti-identity matmul (Mosaic has
+    # no sublane-reverse), rolled with stride +1, flipped back
     j = _anti_identity(blk, gz.dtype)
     gf = jax.lax.dot_general(
         j, gz, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
-    h = pltpu.roll(gf, 0, 1, stride=1, stride_axis=0)  # right-roll row r by r
+    hh = pltpu.roll(gf, 0, 1, stride=1, stride_axis=0)  # right-roll row r by r
     return jax.lax.dot_general(
-        j, h, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        j, hh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
 
 
@@ -405,6 +443,12 @@ def relpos_flash_attention(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, h, t, d = q.shape
+    if block is None:
+        import os
+
+        env_blk = os.environ.get("ESPNET_TPU_RELPOS_BLOCK", "")
+        if env_blk:
+            block = int(env_blk)
     if block is None:
         # Bigger tiles amortise the per-tile rotate/loop overhead (measured
         # blk 128/256/512 = 17.7/8.8/5.1 ms fwd per 12 layers at T=512), but

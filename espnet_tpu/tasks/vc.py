@@ -16,6 +16,7 @@ from typing import Any, Dict, List, Optional
 import numpy as np
 
 from espnet_tpu.models.tts.tacotron2 import Tacotron2Config
+from espnet_tpu.models.tts.transformer_tts import TransformerTTSConfig
 from espnet_tpu.tasks.abs_task import AbsTask, OptimConfig, RunConfig
 
 logger = logging.getLogger("espnet_tpu")
@@ -40,7 +41,10 @@ class VCModelSection:
     n_mels: int = 80
     fmin: float = 80.0
     fmax: Optional[float] = 7600.0
+    vc_type: str = "tacotron2"  # tacotron2 | transformer (VTN)
     tacotron2: Tacotron2Config = Tacotron2Config(input_type="feats")
+    transformer: TransformerTTSConfig = TransformerTTSConfig(
+        input_type="feats")
 
 
 class VCDataset:
@@ -107,9 +111,16 @@ class VCTask(AbsTask):
             d["dtype"] = {"float32": jnp.float32,
                           "bfloat16": jnp.bfloat16}[t2.dtype]
         t2 = dataclasses.replace(t2, **d)
+        tr = mc.transformer
+        dtr = dict(d)
+        if isinstance(tr.dtype, str):
+            dtr["dtype"] = {"float32": jnp.float32,
+                            "bfloat16": jnp.bfloat16}[tr.dtype]
+        tr = dataclasses.replace(tr, **dtr)
         return VCModel(VCTaskConfig(
             fs=mc.fs, n_fft=mc.n_fft, hop_length=mc.hop_length,
-            n_mels=mc.n_mels, fmin=mc.fmin, fmax=mc.fmax, tacotron2=t2,
+            n_mels=mc.n_mels, fmin=mc.fmin, fmax=mc.fmax,
+            vc_type=mc.vc_type, tacotron2=t2, transformer=tr,
         ))
 
     @classmethod

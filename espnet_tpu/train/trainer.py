@@ -165,6 +165,10 @@ class Trainer:
 
             profiling = False
             for i, batch in enumerate(train_iter.epoch(epoch), 1):
+                if i == 1:
+                    from espnet_tpu.utils.typecheck import check_batch
+
+                    check_batch(batch, self.batch_arg_names)
                 if opts.profile_steps and epoch == start_epoch:
                     # skip step 1 (compile); trace a steady-state window
                     if i == 2:

@@ -68,3 +68,43 @@ def test_vc_cli(tmp_path):
         "--optim.schedule", "constant", "--optim.lr", "0.001",
     ])
     assert (tmp_path / "exp" / "checkpoint.msgpack").exists()
+
+
+def test_transformer_vc_forward_inference():
+    """Voice Transformer Network: transformer VC variant
+    (`espnet/nets/pytorch_backend/e2e_vc_transformer.py:1`)."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from espnet_tpu.models.tts.transformer_tts import TransformerTTSConfig
+    from espnet_tpu.models.tts.vc import VCModel, VCTaskConfig
+
+    cfg = VCTaskConfig(
+        n_fft=256, hop_length=128, n_mels=10, fmin=0.0, fmax=None,
+        vc_type="transformer",
+        transformer=TransformerTTSConfig(
+            input_type="feats", input_dim=10, n_mels=10, d_model=16,
+            num_heads=2, d_ff=32, num_encoder_layers=1,
+            num_decoder_layers=1, prenet_units=8, prenet_layers=1,
+            postnet_layers=2, postnet_channels=8, dropout_rate=0.0,
+            max_frames=32),
+    )
+    model = VCModel(cfg)
+    rng = np.random.RandomState(0)
+    src = jnp.asarray(rng.randn(2, 2000).astype(np.float32))
+    src_l = jnp.asarray([2000, 1500], jnp.int32)
+    tgt = jnp.asarray(rng.randn(2, 2200).astype(np.float32))
+    tgt_l = jnp.asarray([2200, 1800], jnp.int32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "prenet": jax.random.PRNGKey(1),
+         "dropout": jax.random.PRNGKey(2)}, src, src_l, tgt, tgt_l)
+    (loss, stats), _ = model.apply(
+        variables, src, src_l, tgt, tgt_l, False,
+        rngs={"prenet": jax.random.PRNGKey(3),
+              "dropout": jax.random.PRNGKey(4)},
+        mutable=["batch_stats"])
+    assert np.isfinite(float(loss))
+    mel, lens = model.apply(variables, src, src_l, 32,
+                            method=VCModel.inference)
+    assert mel.shape[0] == 2 and mel.shape[-1] == 10
