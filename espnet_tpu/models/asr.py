@@ -97,6 +97,10 @@ class ASRConfig:
     decoder_type: str = "transformer"  # transformer | rnn (v1 AttLoc) | s4 | whisper
     num_decoder_layers: int = 6
     decoder_d_ff: int = 2048
+    # rnn decoder options (v1 `--atype` zoo, rnn_attentions.py, and
+    # scheduled sampling `--sampling-probability`, decoders.py:246)
+    rnn_att_type: str = "location"
+    sampling_probability: float = 0.0
     # loss
     ctc_weight: float = 0.3
     # InterCTC (`espnet2/asr/espnet_model.py:244-286`): auxiliary CTC on
@@ -320,6 +324,8 @@ class ASRModel(nn.Module):
                     embed_dim=c.d_model,
                     hidden=c.d_model,
                     num_layers=c.num_decoder_layers,
+                    att_type=c.rnn_att_type,
+                    sampling_probability=c.sampling_probability,
                     dropout_rate=c.dropout_rate,
                     dtype=c.dtype,
                 )

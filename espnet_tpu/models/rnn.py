@@ -3,8 +3,9 @@
 Behavioral spec: reference `espnet/nets/pytorch_backend/rnn/encoders.py`
 (VGG2L `:24`: two 3x3-conv/maxpool blocks collapsing freq; RNNP `:90`:
 stacked (B)LSTM with per-layer linear projection),
-`rnn/attentions.py` (AttLoc `:334`: location-aware attention — 1-D conv
-over the previous alignment feeds the score MLP, softmax scaled by 2.0) and
+`rnn/attentions.py` (the full 14-type attention zoo lives in
+`rnn_attentions.py`; AttLoc `:334` is the default — 1-D conv over the
+previous alignment feeds the score MLP, softmax scaled by 2.0) and
 `rnn/decoders.py` (Decoder `:44`: LSTM stack fed [embed, context], output
 projection over [top hidden, context]).
 
@@ -105,46 +106,35 @@ class VGGRNNEncoder(nn.Module):
         return [(z, z) for _ in range(self.num_layers)]
 
 
-class LocationAwareAttention(nn.Module):
-    """AttLoc (`attentions.py:334`)."""
+from espnet_tpu.models.rnn_attentions import AttLoc, make_attention
 
-    att_dim: int = 320
-    conv_channels: int = 10
-    conv_kernel: int = 100
-    scaling: float = 2.0
-    dtype: Any = jnp.float32
-
-    @nn.compact
-    def __call__(self, enc, enc_mask, dec_state, prev_w):
-        """enc (N, T, D); dec_state (N, Dz); prev_w (N, T) -> (context, w)."""
-        f = nn.Conv(self.conv_channels, (2 * (self.conv_kernel // 2) + 1,),
-                    padding="SAME", use_bias=False, dtype=self.dtype,
-                    name="loc_conv")(prev_w[:, :, None])
-        e = nn.tanh(
-            nn.Dense(self.att_dim, dtype=self.dtype, name="mlp_enc")(enc)
-            + nn.Dense(self.att_dim, use_bias=False, dtype=self.dtype,
-                       name="mlp_dec")(dec_state)[:, None]
-            + nn.Dense(self.att_dim, use_bias=False, dtype=self.dtype,
-                       name="mlp_att")(f)
-        )
-        e = nn.Dense(1, use_bias=False, dtype=self.dtype, name="gvec")(e)[..., 0]
-        e = jnp.where(enc_mask, e, -1e30)
-        w = jax.nn.softmax(self.scaling * e, axis=-1)
-        context = jnp.einsum("nt,ntd->nd", w, enc)
-        return context, w
+# back-compat alias: the original in-file AttLoc implementation moved to the
+# attention zoo (`rnn_attentions.py`) with identical parameter names
+LocationAwareAttention = AttLoc
 
 
 class RNNDecoder(nn.Module):
-    """LSTM attention decoder (`decoders.py:44`)."""
+    """LSTM attention decoder (`decoders.py:44`).
+
+    `att_type` selects from the v1 attention zoo (`rnn_attentions.py`,
+    reference `rnn/attentions.py` via `initial_att`); `sampling_probability`
+    enables scheduled sampling (`decoders.py:246`: with prob p the previous
+    step's argmax prediction replaces the ground-truth input token — the
+    reference draws one coin per step for the whole batch, as do we).
+    """
 
     vocab_size: int
     encoder_dim: int = 256
     embed_dim: int = 256
     hidden: int = 256        # dunits
     num_layers: int = 1      # dlayers
+    att_type: str = "location"
     att_dim: int = 320
     att_conv_channels: int = 10
     att_conv_kernel: int = 100
+    att_heads: int = 4
+    att_win: int = 5
+    sampling_probability: float = 0.0
     dropout_rate: float = 0.1
     dtype: Any = jnp.float32
 
@@ -156,8 +146,11 @@ class RNNDecoder(nn.Module):
                                  name=f"lstm{i}")
             for i in range(self.num_layers)
         ]
-        self.att = LocationAwareAttention(
-            self.att_dim, self.att_conv_channels, self.att_conv_kernel,
+        self.att = make_attention(
+            self.att_type, att_dim=self.att_dim,
+            conv_channels=self.att_conv_channels,
+            conv_kernel=self.att_conv_kernel, heads=self.att_heads,
+            att_win=self.att_win, out_dim=self.encoder_dim,
             dtype=self.dtype, name="att",
         )
         self.output = nn.Dense(self.vocab_size, dtype=self.dtype,
@@ -165,9 +158,11 @@ class RNNDecoder(nn.Module):
         self.dropout = nn.Dropout(self.dropout_rate)
 
     def _step(self, token, state, enc, enc_mask, deterministic):
-        """One decode step. state = dict(h list, c list, w)."""
+        """One decode step. state = dict(h list, c list, att dict)."""
         ey = self.embed(token)                        # (N, E)
-        context, w = self.att(enc, enc_mask, state["h"][0], state["w"])
+        context, _, att_state = self.att(
+            enc, enc_mask, state["h"][0], state["att"]
+        )
         x = jnp.concatenate([ey, context], axis=-1)
         hs, cs = [], []
         for li, cell in enumerate(self.cells):
@@ -176,46 +171,60 @@ class RNNDecoder(nn.Module):
             cs.append(c_new)
         x = self.dropout(x, deterministic=deterministic)
         logits = self.output(jnp.concatenate([x, context], axis=-1))
-        return logits, {"h": hs, "c": cs, "w": w}
+        return logits, {"h": hs, "c": cs, "att": att_state}
 
-    def init_state(self, batch: int, t_max: int):
+    def init_state(self, batch: int, t_max: int, enc_mask):
         z = jnp.zeros((batch, self.hidden), self.dtype)
-        # uniform initial alignment
-        w = jnp.full((batch, t_max), 1.0 / t_max, self.dtype)
         return {"h": [z] * self.num_layers, "c": [z] * self.num_layers,
-                "w": w}
+                "att": self.att.init_state(batch, t_max, enc_mask)}
 
     def __call__(self, tokens, token_lengths, memory, memory_lengths,
                  deterministic: bool = True):
         """Teacher-forced full forward: tokens (B, U) -> logits (B, U, V)."""
         b, u = tokens.shape
         enc_mask = make_valid_mask(memory_lengths, memory.shape[1])
-        state = self.init_state(b, memory.shape[1])
+        state = self.init_state(b, memory.shape[1], enc_mask)
+        sample = self.sampling_probability > 0.0 and not deterministic
 
         # flax-native scan over target positions with shared params
         def body(mdl, carry, tok_t):
+            state, prev_logits, i = carry
+            if sample:
+                rng_name = ("sampling" if mdl.has_rng("sampling")
+                            else "dropout")
+                coin = jax.random.bernoulli(
+                    mdl.make_rng(rng_name), mdl.sampling_probability
+                )
+                use_pred = jnp.logical_and(coin, i > 0)
+                tok_t = jnp.where(
+                    use_pred,
+                    jnp.argmax(prev_logits, axis=-1).astype(tok_t.dtype),
+                    tok_t,
+                )
             logits, new_state = mdl._step(
-                tok_t, carry, memory, enc_mask, deterministic
+                tok_t, state, memory, enc_mask, deterministic
             )
-            return new_state, logits
+            return (new_state, logits, i + 1), logits
 
         scan = nn.scan(
             body, variable_broadcast="params",
-            split_rngs={"params": False, "dropout": True},
+            split_rngs={"params": False, "dropout": True, "sampling": True},
             in_axes=1, out_axes=1,
         )
-        _, logits = scan(self, state, tokens)
+        logits0 = jnp.zeros((b, self.vocab_size), self.dtype)
+        _, logits = scan(self, (state, logits0, jnp.int32(0)), tokens)
         return logits
 
     # --- beam-search interface (matches TransformerDecoder) ---------------
     def score_memory_cache(self, batch: int, memory, memory_lengths):
-        state = self.init_state(batch, memory.shape[1])
+        enc_mask = make_valid_mask(memory_lengths, memory.shape[1])
+        state = self.init_state(batch, memory.shape[1], enc_mask)
         # stack layer lists into arrays for a clean pytree
         # leading axis must be the batch/beam axis: the beam search
         # re-gathers cache rows with tree_map(lambda c: c[src])
         return {
             "h": jnp.stack(state["h"], 1), "c": jnp.stack(state["c"], 1),
-            "w": state["w"],
+            "att": state["att"],
         }
 
     def score_step(self, tokens_step, pos, memory, memory_lengths, cache):
@@ -223,7 +232,7 @@ class RNNDecoder(nn.Module):
         state = {
             "h": [cache["h"][:, i] for i in range(self.num_layers)],
             "c": [cache["c"][:, i] for i in range(self.num_layers)],
-            "w": cache["w"],
+            "att": cache["att"],
         }
         logits, new_state = self._step(
             tokens_step, state, memory, enc_mask, True
@@ -231,6 +240,6 @@ class RNNDecoder(nn.Module):
         new_cache = {
             "h": jnp.stack(new_state["h"], 1),
             "c": jnp.stack(new_state["c"], 1),
-            "w": new_state["w"],
+            "att": new_state["att"],
         }
         return jax.nn.log_softmax(logits.astype(jnp.float32), -1), new_cache
