@@ -43,7 +43,8 @@ class EnhConfig:
     hop_length: int = 128
     # separator
     separator_type: str = "tcn"  # tcn | dprnn | transformer | dptnet |
-                                 # skim | conformer | rnn | dan
+                                 # skim | conformer | rnn | dan | dc_crn |
+                                 # fasnet | beamformer
     tcn_layers: int = 8
     tcn_stacks: int = 3
     tcn_bottleneck: int = 128
@@ -62,6 +63,22 @@ class EnhConfig:
     conformer_kernel: int = 15
     skim_segment: int = 20
     skim_mem_type: str = "hc"
+    # dc_crn (complex masking; needs encoder_type="stft")
+    dc_crn_channels: Any = (2, 16, 32, 64)
+    dc_crn_hid_channels: int = 8
+    dc_crn_block_layers: int = 5
+    glstm_groups: int = 2
+    glstm_layers: int = 2
+    dc_crn_mode: str = "masking"
+    # fasnet (separator_type="fasnet", multichannel time-domain)
+    fasnet_enc_dim: int = 64
+    fasnet_feature_dim: int = 64
+    fasnet_hidden_dim: int = 128
+    fasnet_layers: int = 4
+    fasnet_segment_size: int = 50
+    fasnet_win_ms: int = 4
+    fasnet_context_ms: int = 16
+    fasnet_sr: int = 16000
     # neural beamformer (separator_type="beamformer", multichannel input)
     use_wpe: bool = False
     wpe_taps: int = 5
@@ -90,6 +107,20 @@ class EnhancementModel(nn.Module):
                 c.n_fft, c.hop_length, c.use_wpe, c.wpe_taps, c.wpe_delay,
                 c.bf_hidden, c.bf_layers, c.ref_channel, c.dtype,
                 name="separator",
+            )
+            self.encoder = None
+            self.decoder = None
+            return
+        if c.separator_type == "fasnet":
+            # Multichannel time-domain filter-and-sum: waveform in/out
+            # (`espnet2/enh/separator/fasnet_separator.py:14`).
+            from espnet_tpu.models.enh.fasnet import FaSNetSeparator
+
+            self.separator = FaSNetSeparator(
+                c.fasnet_enc_dim, c.fasnet_feature_dim, c.fasnet_hidden_dim,
+                c.fasnet_layers, c.fasnet_segment_size, c.num_spk,
+                win_ms=c.fasnet_win_ms, context_ms=c.fasnet_context_ms,
+                sr=c.fasnet_sr, dtype=c.dtype, name="separator",
             )
             self.encoder = None
             self.decoder = None
@@ -157,6 +188,20 @@ class EnhancementModel(nn.Module):
                 feat_dim, c.num_spk, c.rnn_layers, c.rnn_hidden,
                 c.dan_emb_dim, c.dtype, name="separator",
             )
+        elif c.separator_type == "dc_crn":
+            from espnet_tpu.models.enh.dc_crn import DCCRNSeparator
+
+            if c.encoder_type != "stft":
+                raise ValueError("dc_crn needs encoder_type='stft' "
+                                 "(complex masking over STFT features)")
+            self.separator = DCCRNSeparator(
+                feat_dim, c.num_spk,
+                input_channels=tuple(c.dc_crn_channels),
+                enc_hid_channels=c.dc_crn_hid_channels,
+                enc_layers=c.dc_crn_block_layers,
+                glstm_groups=c.glstm_groups, glstm_layers=c.glstm_layers,
+                mode=c.dc_crn_mode, dtype=c.dtype, name="separator",
+            )
         else:
             raise ValueError(f"unknown separator_type {c.separator_type}")
 
@@ -164,7 +209,7 @@ class EnhancementModel(nn.Module):
                         deterministic: bool = True):
         """Mixture -> per-speaker waveforms (B, n_spk, n)
         (`espnet_model.py:178`)."""
-        if self.config.separator_type == "beamformer":
+        if self.config.separator_type in ("beamformer", "fasnet"):
             wavs, _, others = self.separator(
                 speech_mix, speech_lengths, deterministic
             )

@@ -89,6 +89,8 @@ class TransformerEncoder(nn.Module):
     subsampling_factor: int = 4
     # 1-based layer indices whose outputs are also returned (InterCTC)
     capture_layers: tuple = ()
+    # per-layer activation rematerialization (jax.checkpoint)
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -100,9 +102,11 @@ class TransformerEncoder(nn.Module):
         x = FastDropout(self.dropout_rate)(x, deterministic=deterministic)
         mask = make_valid_mask(olens, x.shape[1])  # (B, T')
         bias = attention_bias(mask[:, None, None, :])  # (B, 1, 1, T')
+        layer_cls = (nn.remat(TransformerEncoderLayer, static_argnums=(3,))
+                     if self.remat else TransformerEncoderLayer)
         intermediates = []
         for i in range(self.num_layers):
-            x = TransformerEncoderLayer(
+            x = layer_cls(
                 self.d_model, self.num_heads, self.d_ff, self.dropout_rate,
                 dtype=self.dtype, name=f"layer{i}",
             )(x, bias, deterministic)
