@@ -27,7 +27,8 @@ def get_parser():
     p.add_argument("--output_dir", required=True)
     p.add_argument("--params", default=None)
     p.add_argument("--beam_size", type=int, default=5)
-    p.add_argument("--search", choices=["maes", "alsd", "greedy"],
+    p.add_argument("--search",
+                   choices=["maes", "nsc", "tsd", "alsd", "greedy"],
                    default="maes")
     p.add_argument("--max_expansions", type=int, default=3)
     p.add_argument("--max_tokens", type=int, default=256)

@@ -30,7 +30,7 @@ class Speech2TextTransducer:
         max_expansions: int = 3,
         max_tokens: int = 256,
         score_norm: bool = True,
-        search: str = "maes",   # maes | alsd | greedy
+        search: str = "maes",   # maes | nsc | tsd | alsd | greedy
     ):
         self.model = model
         self.variables = {"params": params, **(extra_vars or {})}
@@ -61,6 +61,17 @@ class Speech2TextTransducer:
                 50, self.score_norm,
                 method=TransducerASRModel.alsd_search,
             )
+        if self.search == "tsd":
+            return model.apply(
+                self.variables, enc, elen, self.beam_size,
+                self.max_expansions, self.max_tokens, self.score_norm,
+                method=TransducerASRModel.tsd_search,
+            )
+        # "maes" and "nsc": the fixed-shape expansion program IS the N-step
+        # constrained search with a constant expansion width — the reference
+        # distinguishes nsc/mAES only by adaptive gamma-pruning of the
+        # per-step candidate set (`beam_search_transducer.py:547,719`),
+        # which a static TPU program replaces with the top-W cut.
         return model.apply(
             self.variables, enc, elen, self.beam_size, self.max_expansions,
             self.max_tokens, self.score_norm,

@@ -406,3 +406,162 @@ def batched_transducer_alsd(
     bi = jnp.arange(b)
     return (final.fin_yseq[bi, best], final.fin_ylen[bi, best],
             score[bi, best])
+
+
+# ---------------------------------------------------------------------------
+# TSD: time-synchronous decoding (Saon et al., 2020)
+
+
+def batched_transducer_tsd(
+    enc: jnp.ndarray,            # (B, T, De)
+    enc_lengths: jnp.ndarray,    # (B,)
+    *,
+    joint_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    dec_init: Callable[[int], Tuple[jnp.ndarray, Any]],
+    dec_step: Callable[[Any, jnp.ndarray], Tuple[jnp.ndarray, Any]],
+    config: TransducerSearchConfig = TransducerSearchConfig(),
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Time-synchronous transducer beam search.
+
+    Behavioral spec: reference `time_sync_decoding`
+    (`espnet/nets/beam_search_transducer.py:332`, Saon et al. 2020): per
+    frame, up to `max_sym_exp` (= config.max_expansions) label expansions;
+    after each expansion level every hypothesis contributes a
+    blank-extended candidate to the frame pool A, and candidates with
+    IDENTICAL label sequences are merged with logaddexp (the defining
+    difference from the expansion/mAES family, which keeps paths distinct).
+    Label expansion takes the global top-W of all (hyp, label) pairs —
+    equivalent to the reference's union of per-hyp top-W followed by a
+    top-W cut.
+
+    The duplicate merge is a static (P, P) pairwise yseq comparison over
+    the pool slab (P = W * (E + 1), small), with the merged mass assigned
+    to the first occurrence — exactly the reference's `seq_A.index` logic.
+
+    Same callback contract as `batched_transducer_beam_search`.
+    Returns (tokens (B, max_tokens), lengths (B,), scores (B,)).
+    """
+    c = config
+    b, t_max, _ = enc.shape
+    w = c.beam_size
+    lmax = c.max_tokens
+    n_exp = c.max_expansions
+    p = w * (n_exp + 1)
+
+    dec_out0, dec_state0 = dec_init(b * w)
+    h = dec_out0.shape[-1]
+    dec_out0 = dec_out0.reshape(b, w, h)
+    dec_state0 = jax.tree_util.tree_map(
+        lambda x: x.reshape(b, w, *x.shape[1:]), dec_state0
+    )
+    beam0 = _Beam(
+        yseq=jnp.zeros((b, w, lmax), jnp.int32),
+        ylen=jnp.zeros((b, w), jnp.int32),
+        score=jnp.tile(
+            jnp.where(jnp.arange(w) == 0, 0.0, NEG_INF)[None, :], (b, 1)
+        ).astype(jnp.float32),
+        dec_out=dec_out0,
+        dec_state=dec_state0,
+    )
+
+    def frame_step(beam: _Beam, inputs):
+        enc_t, t = inputs
+        active_t = t < enc_lengths
+
+        cur = beam
+        stages = []
+        pool_score = jnp.full((b, p), NEG_INF)
+        for e in range(n_exp + 1):
+            stages.append(cur)
+            logits = joint_fn(
+                jnp.repeat(enc_t, w, axis=0), cur.dec_out.reshape(b * w, h)
+            ).reshape(b, w, -1)
+            lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            v = lp.shape[-1]
+            blank_sc = cur.score + lp[..., c.blank_id]
+            pool_score = jax.lax.dynamic_update_slice(
+                pool_score, blank_sc, (0, e * w)
+            )
+            if e == n_exp:
+                break
+            lab_lp = lp.at[..., c.blank_id].set(NEG_INF)
+            cand = cur.score[..., None] + lab_lp
+            cand = jnp.where((cur.ylen >= lmax)[..., None], NEG_INF, cand)
+            top_sc, top_ix = jax.lax.top_k(cand.reshape(b, w * v), w)
+            src = (top_ix // v).astype(jnp.int32)
+            tok = (top_ix % v).astype(jnp.int32)
+            yseq = _select(cur.yseq, src)
+            ylen = _select(cur.ylen, src)
+            live = top_sc > NEG_INF / 2
+            yseq = jnp.where(
+                (jnp.arange(lmax)[None, None, :] == ylen[..., None])
+                & live[..., None],
+                tok[..., None], yseq,
+            )
+            ylen = ylen + live.astype(jnp.int32)
+            sel_state = jax.tree_util.tree_map(
+                lambda x: _select(x, src), cur.dec_state
+            )
+            flat_state = jax.tree_util.tree_map(
+                lambda x: x.reshape(b * w, *x.shape[2:]), sel_state
+            )
+            new_out, new_state = dec_step(flat_state, tok.reshape(b * w))
+            cur = _Beam(
+                yseq, ylen, top_sc, new_out.reshape(b, w, h),
+                jax.tree_util.tree_map(
+                    lambda x: x.reshape(b, w, *x.shape[1:]), new_state
+                ),
+            )
+
+        # pooled slabs (B, P, ...)
+        stack = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, 0), *stages)
+        pool_yseq = stack.yseq.transpose(1, 0, 2, 3).reshape(b, p, lmax)
+        pool_ylen = stack.ylen.transpose(1, 0, 2).reshape(b, p)
+
+        # logaddexp-merge identical label sequences (reference :386-400)
+        same = (
+            (pool_ylen[:, :, None] == pool_ylen[:, None, :])
+            & jnp.all(
+                pool_yseq[:, :, None, :] == pool_yseq[:, None, :, :], axis=-1
+            )
+        )                                                  # (B, P, P)
+        first = jnp.argmax(same, axis=-1)                  # (B, P)
+        masked = jnp.where(same, pool_score[:, None, :], NEG_INF)
+        merged = jax.scipy.special.logsumexp(masked, axis=-1)
+        is_rep = first == jnp.arange(p)[None, :]
+        pool_merged = jnp.where(is_rep, merged, NEG_INF).astype(jnp.float32)
+
+        nxt_sc, nxt_ix = jax.lax.top_k(pool_merged, w)
+        exp_idx = nxt_ix // w
+        src_idx = (nxt_ix % w).astype(jnp.int32)
+
+        def gather(x):  # x (E+1, B, W, ...)
+            return jax.vmap(
+                lambda xe, ee, ss: xe[ee, ss], in_axes=(1, 0, 0)
+            )(x, exp_idx, src_idx)
+
+        new_beam = _Beam(
+            yseq=gather(stack.yseq),
+            ylen=gather(stack.ylen),
+            score=nxt_sc,
+            dec_out=gather(stack.dec_out),
+            dec_state=jax.tree_util.tree_map(gather, stack.dec_state),
+        )
+        keep = active_t[:, None]
+        merged_beam = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(
+                keep.reshape((b, 1) + (1,) * (new.ndim - 2)), new, old
+            ),
+            new_beam, beam,
+        )
+        return merged_beam, None
+
+    final, _ = jax.lax.scan(
+        frame_step, beam0, (enc.transpose(1, 0, 2), jnp.arange(t_max)),
+    )
+    score = final.score
+    if c.score_norm:
+        score = score / jnp.maximum(final.ylen, 1)
+    best = jnp.argmax(score, axis=1)
+    bi = jnp.arange(b)
+    return final.yseq[bi, best], final.ylen[bi, best], score[bi, best]

@@ -389,3 +389,33 @@ class TransducerASRModel(nn.Module):
             ),
             u_max=u_max,
         )
+
+    def tsd_search(self, enc, enc_lengths, beam_size: int = 5,
+                   max_sym_exp: int = 3, max_tokens: int = 256,
+                   score_norm: bool = True):
+        """Batched time-synchronous search with logaddexp prefix merging
+        (`beam_search_transducer.py:332` "tsd" mode; see
+        decode/transducer_search.py batched_transducer_tsd)."""
+        from espnet_tpu.decode.transducer_search import (
+            TransducerSearchConfig, batched_transducer_tsd,
+        )
+
+        c = self.config
+
+        def dec_init(n):
+            st = self.decoder.init_state(n)
+            return self.decoder.step(
+                st, jnp.full((n,), c.blank_id, jnp.int32)
+            )
+
+        return batched_transducer_tsd(
+            enc, enc_lengths,
+            joint_fn=lambda e, d: self.joint(e, d),
+            dec_init=dec_init,
+            dec_step=lambda st, tok: self.decoder.step(st, tok),
+            config=TransducerSearchConfig(
+                beam_size=beam_size, max_expansions=max_sym_exp,
+                blank_id=c.blank_id, max_tokens=max_tokens,
+                score_norm=score_norm,
+            ),
+        )
