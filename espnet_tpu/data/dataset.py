@@ -35,9 +35,13 @@ class ASRDataset:
         src_tokenizer=None,
         src_converter=None,
         multichannel: bool = False,
+        preprocessor=None,
     ):
         # multichannel=True keeps (N, C) wavs intact (WPE/beamformer
-        # front-end inside the ASR model); default selects channel 0
+        # front-end inside the ASR model); default selects channel 0.
+        # preprocessor: optional callable wav -> wav applied to raw speech
+        # on access (data/preprocess.py SpeechPreprocessor: RIR/noise/volume,
+        # reference CommonPreprocessor `espnet2/train/preprocessor.py:283`)
         if (wav_scp is None) == (feats_scp is None):
             raise ValueError("exactly one of wav_scp/feats_scp required")
         if wav_scp:
@@ -57,6 +61,7 @@ class ASRDataset:
         self.src_tokenizer = src_tokenizer or tokenizer
         self.src_converter = src_converter or converter
         self.multichannel = multichannel
+        self.preprocessor = preprocessor
 
     def keys(self) -> List[str]:
         return list(self.speech.keys())
@@ -74,7 +79,10 @@ class ASRDataset:
                 wav = wav[:, 0]
             elif wav.ndim == 1 and self.multichannel:
                 wav = wav[:, None]
-            out["speech"] = wav.astype(np.float32)
+            wav = wav.astype(np.float32)
+            if self.preprocessor is not None:
+                wav = self.preprocessor(wav)
+            out["speech"] = wav
         else:
             out["speech"] = self.speech[key].astype(np.float32)
         if self.text is not None:

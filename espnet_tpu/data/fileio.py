@@ -66,14 +66,75 @@ def wav_duration(path) -> float:
         return f.getnframes() / float(f.getframerate())
 
 
+def read_sphere(path) -> Tuple[np.ndarray, int]:
+    """Read a NIST SPHERE (.sph) file -> (float32 in [-1, 1], rate).
+
+    Self-contained sph2pipe replacement (SURVEY §2.6: the reference recipes
+    shell out to sph2pipe for LDC corpora). Supports uncompressed PCM
+    (8/16-bit, either byte order, ulaw) — 'embedded-shorten' compression is
+    rejected with a clear error (the shorten codec is proprietary-era; LDC
+    ships uncompressed variants).
+    """
+    with open(path, "rb") as f:
+        magic = f.readline()
+        if not magic.startswith(b"NIST_1A"):
+            raise ValueError(f"{path}: not a NIST SPHERE file")
+        header_size = int(f.readline().strip())
+        f.seek(0)
+        header = f.read(header_size).decode("ascii", errors="replace")
+        fields = {}
+        for line in header.splitlines()[2:]:
+            parts = line.split(None, 2)
+            if len(parts) == 3 and parts[1].startswith("-"):
+                fields[parts[0]] = parts[2]
+            elif line.strip() == "end_head":
+                break
+        coding = fields.get("sample_coding", "pcm")
+        if "shorten" in coding:
+            raise ValueError(
+                f"{path}: embedded-shorten SPHERE is not supported; "
+                "convert once with `sph2pipe -f rif` upstream"
+            )
+        n_bytes = int(fields.get("sample_n_bytes", 2))
+        channels = int(fields.get("channel_count", 1))
+        rate = int(fields.get("sample_rate", 16000))
+        byte_fmt = fields.get("sample_byte_format", "01")
+        f.seek(header_size)
+        raw = f.read()
+    if coding.startswith("ulaw") or coding.startswith("mu-law"):
+        u = np.frombuffer(raw, np.uint8).astype(np.int16)
+        u = ~u & 0xFF
+        sign = u & 0x80
+        exp = (u >> 4) & 0x07
+        mant = u & 0x0F
+        mag = ((mant << 3) + 0x84) << exp
+        data = np.where(sign, 0x84 - mag, mag - 0x84).astype(np.float32)
+        data /= 32768.0
+    elif n_bytes == 2:
+        dt = np.dtype(np.int16).newbyteorder(
+            "<" if byte_fmt == "01" else ">")
+        data = np.frombuffer(raw, dt).astype(np.float32) / 32768.0
+    elif n_bytes == 1:
+        data = np.frombuffer(raw, np.int8).astype(np.float32) / 128.0
+    else:
+        raise ValueError(f"{path}: unsupported sample_n_bytes={n_bytes}")
+    if channels > 1:
+        data = data.reshape(-1, channels)
+    return data, rate
+
+
 def read_wav(path) -> Tuple[np.ndarray, int]:
     """Read a PCM/float WAV file -> (float32 array in [-1, 1], sample_rate).
 
     Stdlib-only replacement for soundfile.read (reference
-    `espnet2/fileio/sound_scp.py`); handles PCM16/PCM32/PCM8 and IEEE float.
+    `espnet2/fileio/sound_scp.py`); handles PCM16/PCM32/PCM8 and IEEE float,
+    plus NIST SPHERE via `read_sphere` (dispatch on magic bytes).
     """
     from scipy.io import wavfile
 
+    with open(path, "rb") as f:
+        if f.read(7) == b"NIST_1A":
+            return read_sphere(path)
     sr, data = wavfile.read(path)
     if data.dtype == np.int16:
         data = data.astype(np.float32) / 32768.0

@@ -49,6 +49,15 @@ class ASRDataConfig:
     size_multiple: int = 0
     # keep (N, C) multichannel wavs (WPE/beamformer front-end in the model)
     multichannel: bool = False
+    # on-access augmentation (CommonPreprocessor speech path,
+    # `espnet2/train/preprocessor.py:283`; train split only)
+    rir_scp: str = ""
+    rir_apply_prob: float = 1.0
+    noise_scp: str = ""
+    noise_apply_prob: float = 1.0
+    noise_db_range: str = "13_15"
+    # rescale waveform peak to this value (applies to valid/decode too)
+    speech_volume_normalize: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -95,13 +104,30 @@ class ASRTask(AbsTask):
         return conv
 
     @classmethod
-    def build_dataset(cls, data: ASRDataConfig, datadir, tokenizer, converter):
+    def build_dataset(cls, data: ASRDataConfig, datadir, tokenizer, converter,
+                      train: bool = True):
         dd = Path(datadir)
         kw = dict(text=dd / "text", tokenizer=tokenizer, converter=converter,
                   fs=data.fs)
         if data.input_type == "raw":
+            pre = None
+            if (data.rir_scp or data.noise_scp
+                    or data.speech_volume_normalize):
+                from espnet_tpu.data.preprocess import SpeechPreprocessor
+
+                pre = SpeechPreprocessor(
+                    rir_scp=data.rir_scp or None,
+                    rir_apply_prob=data.rir_apply_prob,
+                    noise_scp=data.noise_scp or None,
+                    noise_apply_prob=data.noise_apply_prob,
+                    noise_db_range=data.noise_db_range,
+                    speech_volume_normalize=(
+                        data.speech_volume_normalize or None),
+                    train=train,
+                )
             return ASRDataset(wav_scp=dd / "wav.scp",
-                              multichannel=data.multichannel, **kw)
+                              multichannel=data.multichannel,
+                              preprocessor=pre, **kw)
         return ASRDataset(feats_scp=dd / "feats.scp", **kw)
 
     @classmethod
@@ -132,7 +158,8 @@ class ASRTask(AbsTask):
         converter = cls.build_token_list(data, out, tokenizer, train_texts)
         train_ds = cls.build_dataset(data, data.train_dir, tokenizer, converter)
         valid_ds = (
-            cls.build_dataset(data, data.valid_dir, tokenizer, converter)
+            cls.build_dataset(data, data.valid_dir, tokenizer, converter,
+                              train=False)
             if data.valid_dir else None
         )
 
