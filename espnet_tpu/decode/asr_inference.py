@@ -51,9 +51,27 @@ class Speech2Text:
         maxlenratio: float = 0.0,
         minlenratio: float = 0.0,
         max_steps: int = 0,
+        mesh=None,
     ):
+        """`mesh`: optional `jax.sharding.Mesh` — decode batches are then
+        sharded over its 'data' axis and the whole beam-search program runs
+        SPMD across chips (GSPMD propagates the batch sharding through
+        encoder, scorers and the while-loop; params stay replicated).
+        Batch sizes must divide the data axis (`parallel/api.py`
+        make_batch_put rules). Covers the reference's distributed decoding
+        role (SURVEY §2.7 distributed decode)."""
         self.model = model
         self.variables = {"params": params, **(extra_vars or {})}
+        self.mesh = mesh
+        self._batch_put = None
+        if mesh is not None:
+            from espnet_tpu.parallel.api import make_batch_put
+            from espnet_tpu.parallel.mesh import replicated
+
+            self._batch_put = make_batch_put(mesh)
+            self.variables = jax.device_put(
+                self.variables, replicated(mesh)
+            )
         self.tokenizer = tokenizer
         self.converter = converter
         self.lm_model = lm_model
@@ -177,6 +195,12 @@ class Speech2Text:
         keys: Optional[Sequence[str]] = None,
         nbest: int = 1,
     ) -> List[DecodeResult]:
+        if self._batch_put is not None:
+            put = self._batch_put({
+                "speech": np.asarray(speech),
+                "speech_lengths": np.asarray(speech_lengths),
+            })
+            speech, speech_lengths = put["speech"], put["speech_lengths"]
         yseq, ylen, score = self._decode_jit(
             jnp.asarray(speech), jnp.asarray(speech_lengths)
         )

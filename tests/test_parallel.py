@@ -174,3 +174,35 @@ def test_zero_optimizer_state_sharding():
     for a, b_ in zip(jax.tree_util.tree_leaves(s_base.params),
                      jax.tree_util.tree_leaves(s_zero.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
+
+
+def test_distributed_decode_matches_single_device():
+    """Beam-search decode sharded over the data axis (SURVEY §2.7
+    'distributed decode'): same hypotheses and scores as unsharded."""
+    from espnet_tpu.decode.asr_inference import Speech2Text
+
+    cfg = ASRConfig(
+        vocab_size=16, input_type="feats", n_mels=8, use_specaug=False,
+        normalize="utterance_mvn", encoder_type="transformer", d_model=16,
+        num_heads=2, d_ff=32, num_encoder_layers=1, num_decoder_layers=1,
+        decoder_d_ff=32, dropout_rate=0.0, ctc_weight=0.3,
+    )
+    model = ASRModel(cfg)
+    rng = jax.random.PRNGKey(0)
+    feats = jax.random.normal(rng, (8, 30, 8))
+    flens = jnp.array([30, 25, 30, 18, 30, 22, 30, 12])
+    text = jnp.ones((8, 3), jnp.int32)
+    tlens = jnp.full((8,), 3)
+    params = model.init(rng, feats, flens, text, tlens, True)["params"]
+
+    base = Speech2Text(model, params, beam_size=3, ctc_weight=0.3,
+                       max_steps=6)
+    res0 = base(np.asarray(feats), np.asarray(flens))
+
+    mesh = make_mesh(model_parallel=2)  # 4 x 2 on the 8-device CPU mesh
+    sharded = Speech2Text(model, params, beam_size=3, ctc_weight=0.3,
+                          max_steps=6, mesh=mesh)
+    res1 = sharded(np.asarray(feats), np.asarray(flens))
+    for a, b in zip(res0, res1):
+        assert a.token_ids == b.token_ids
+        np.testing.assert_allclose(a.score, b.score, rtol=1e-4, atol=1e-4)
