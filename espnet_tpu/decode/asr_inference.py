@@ -52,8 +52,14 @@ class Speech2Text:
         minlenratio: float = 0.0,
         max_steps: int = 0,
         mesh=None,
+        extra_scorers=None,
     ):
-        """`mesh`: optional `jax.sharding.Mesh` — decode batches are then
+        """`extra_scorers`: optional sequence of `decode.scorers.Scorer` —
+        additional weighted full scorers fused into the search without
+        editing this class (the reference's ScorerInterface registry,
+        `espnet/nets/beam_search.py:33` scorers dict).
+
+        `mesh`: optional `jax.sharding.Mesh` — decode batches are then
         sharded over its 'data' axis and the whole beam-search program runs
         SPMD across chips (GSPMD propagates the batch sharding through
         encoder, scorers and the while-loop; params stay replicated).
@@ -88,9 +94,8 @@ class Speech2Text:
             maxlenratio=maxlenratio,
             minlenratio=minlenratio,
         )
-        if ngram_scorer is not None and ngram_weight > 0 and lm_weight <= 0:
-            # n-gram rides the search's lm slot
-            self.cfg = dataclasses.replace(self.cfg, lm_weight=ngram_weight)
+        self.lm_weight = lm_weight
+        self.extra_scorers = list(extra_scorers or ())
         self.max_steps = max_steps
         self.sos = cfg.sos_id
         self.eos = cfg.eos_id
@@ -145,42 +150,31 @@ class Speech2Text:
                 method=type(model).decoder_score_step,
             )
 
-        lm_score_fn = None
-        lm_cache = None
-        if self.lm_model is not None and self.cfg.lm_weight > 0:
-            lm_cache = self.lm_model.apply(
-                self.lm_variables, b * w, steps + 1,
-                method=type(self.lm_model).init_cache,
+        # scorer registry: neural LM, n-gram and any user scorers fold into
+        # the search's lm slot with their own weights (scorers.py)
+        from espnet_tpu.decode.scorers import (
+            Scorer, combine_scorers, lm_scorer, ngram_scorer_adapter,
+        )
+
+        slot = []
+        if self.lm_model is not None and self.lm_weight > 0:
+            slot.append(
+                lm_scorer(self.lm_model, self.lm_variables, self.lm_weight)
             )
-
-            def lm_score_fn(tokens, pos, cache):  # noqa: F811
-                return self.lm_model.apply(
-                    self.lm_variables, tokens, pos, cache,
-                    method=type(self.lm_model).score_step,
-                )
         if self.ngram_scorer is not None and self.ngram_weight > 0:
-            # fold the n-gram scorer into the lm slot (reference fuses the
-            # kenlm scorer with its own weight, `asr_inference.py` scorers);
-            # cfg.lm_weight was normalised in __init__ so the search's
-            # lm_weight multiplier applies the right scale
-            ng_fn = self.ngram_scorer.make_score_fn()
-            ng_cache = self.ngram_scorer.init_cache(b * w)
-            if lm_score_fn is None:
-                lm_score_fn = ng_fn
-                lm_cache = ng_cache
-            else:
-                neural_fn = lm_score_fn
-                lam = self.ngram_weight / max(self.cfg.lm_weight, 1e-8)
-
-                def lm_score_fn(tokens, pos, cache):  # noqa: F811
-                    lp1, c1 = neural_fn(tokens, pos, cache[0])
-                    lp2, c2 = ng_fn(tokens, pos, cache[1])
-                    return lp1 + lam * lp2, (c1, c2)
-
-                lm_cache = (lm_cache, ng_cache)
+            slot.append(
+                ngram_scorer_adapter(self.ngram_scorer, self.ngram_weight)
+            )
+        slot.extend(self.extra_scorers)
+        lm_score_fn, lm_cache = combine_scorers(slot, b * w, steps + 1)
+        # weights are applied inside the combined fn; neutralise the slot
+        # multiplier (it exists for the single-LM fast path semantics)
+        cfg = dataclasses.replace(
+            self.cfg, lm_weight=1.0 if lm_score_fn is not None else 0.0
+        )
 
         return batched_beam_search(
-            self.cfg, self.sos, self.eos, self.vocab_size, enc_lens,
+            cfg, self.sos, self.eos, self.vocab_size, enc_lens,
             att_score_fn, att_cache,
             ctc_log_probs=ctc_lp,
             lm_score_fn=lm_score_fn,
