@@ -54,7 +54,8 @@ def main(argv=None):
     if model.config.ctc_weight <= 0:
         raise ValueError("asr_align needs a model with a CTC head")
 
-    ds = ASRTask.build_dataset(data, args.data_dir, tokenizer, converter)
+    ds = ASRTask.build_dataset(data, args.data_dir, tokenizer, converter,
+                               train=False)
     shapes = {"speech": ds.speech_lengths(), "text": ds.text_lengths()}
     batches = build_batches(
         shapes, batch_size=args.batch_size,

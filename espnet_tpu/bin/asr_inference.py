@@ -83,7 +83,8 @@ def main(argv=None):
     model = ASRTask.build_model(cfg["model"], len(converter))
 
     # target structure for deserialization, then load trained params
-    ds = ASRTask.build_dataset(data, args.data_dir, tokenizer, converter)
+    ds = ASRTask.build_dataset(data, args.data_dir, tokenizer, converter,
+                               train=False)
     shapes = {"speech": ds.speech_lengths(), "text": ds.text_lengths()}
     batches = build_batches(
         shapes, batch_size=args.batch_size,

@@ -65,7 +65,8 @@ def main(argv=None):
     converter = TransducerTask.build_token_list(data, exp, tokenizer)
     model = TransducerTask.build_model(cfg["model"], len(converter))
 
-    ds = TransducerTask.build_dataset(data, args.data_dir, tokenizer, converter)
+    ds = TransducerTask.build_dataset(data, args.data_dir, tokenizer,
+                                        converter, train=False)
     shapes = {"speech": ds.speech_lengths(), "text": ds.text_lengths()}
     batches = build_batches(
         shapes, batch_size=args.batch_size,

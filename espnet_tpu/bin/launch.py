@@ -28,6 +28,7 @@ import shlex
 import socket
 import subprocess
 import sys
+import time
 from pathlib import Path
 
 
@@ -58,20 +59,39 @@ def run_local(cmd, nproc: int, log_dir: Path, extra_env=None) -> int:
         log = open(log_dir / f"proc{pid}.log", "w")
         procs.append((subprocess.Popen(cmd, env=env, stdout=log,
                                        stderr=subprocess.STDOUT), log))
+    # Poll ALL children concurrently (~10 Hz): a crashed rank must be
+    # detected even while a peer hangs in a distributed barrier — waiting on
+    # children sequentially would block forever on the hung one. Reference
+    # semantics: `espnet/distributed/pytorch_backend/launch.py:198-231`
+    # (1 Hz poll, kill the group on first failure, propagate the rc).
     rc = 0
+    live = {i for i in range(nproc)}
+    while live:
+        for i in sorted(live):
+            p, _ = procs[i]
+            r = p.poll()
+            if r is None:
+                continue
+            live.discard(i)
+            if r and not rc:
+                rc = r
+                for q, _ in procs:  # fail fast: kill stragglers
+                    if q.poll() is None:
+                        q.terminate()
+        if live:
+            time.sleep(0.1)
     for p, log in procs:
-        rc = rc or p.wait()
+        p.wait()
         log.close()
-    if rc:
-        # fail fast: kill stragglers like the reference's run.pl does
-        for p, _ in procs:
-            if p.poll() is None:
-                p.terminate()
     return rc
 
 
 def slurm_script(cmd, nproc: int, args) -> str:
+    # the per-arg-quoted body is wrapped in `bash -c <script>`; the script
+    # itself must be quoted ONCE MORE for the outer shell or any argument
+    # containing spaces/quotes produces a broken nested command line.
     body = " ".join(shlex.quote(c) for c in cmd)
+    inner = shlex.quote(f"JAX_PROCESS_ID=$SLURM_PROCID exec {body}")
     return f"""#!/usr/bin/env bash
 #SBATCH --job-name={args.job_name}
 #SBATCH --ntasks={nproc}
@@ -81,7 +101,7 @@ def slurm_script(cmd, nproc: int, args) -> str:
 COORD_HOST=$(scontrol show hostnames "$SLURM_JOB_NODELIST" | head -n1)
 export JAX_COORDINATOR_ADDRESS="$COORD_HOST:{args.port}"
 export JAX_NUM_PROCESSES={nproc}
-srun --ntasks={nproc} bash -c 'JAX_PROCESS_ID=$SLURM_PROCID {body}'
+srun --ntasks={nproc} bash -c {inner}
 """
 
 
@@ -92,7 +112,9 @@ def ssh_commands(cmd, hosts, args):
     for pid, host in enumerate(hosts):
         env = _topology_env(coord, len(hosts), pid)
         envs = " ".join(f"{k}={v}" for k, v in env.items())
-        out.append(f"ssh {host} '{envs} {body}'")
+        # quote the assembled remote command as ONE argument to ssh so the
+        # remote shell sees the per-arg quoting intact.
+        out.append(f"ssh {host} {shlex.quote(envs + ' ' + body)}")
     return out
 
 

@@ -59,7 +59,8 @@ def main(argv=None):
     src_conv = TokenIDConverter.from_file(exp / "src_tokens.txt")
     model = STTask.build_model(cfg["model"], len(conv), len(src_conv))
 
-    ds = STTask.build_dataset(data, args.data_dir, tokenizer, conv)
+    ds = STTask.build_dataset(data, args.data_dir, tokenizer, conv,
+                              train=False)
     shapes = {"speech": ds.speech_lengths(), "text": ds.text_lengths()}
     batches = build_batches(
         shapes, batch_size=args.batch_size,

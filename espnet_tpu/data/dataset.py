@@ -81,7 +81,7 @@ class ASRDataset:
                 wav = wav[:, None]
             wav = wav.astype(np.float32)
             if self.preprocessor is not None:
-                wav = self.preprocessor(wav)
+                wav = self.preprocessor(wav, uid=key)
             out["speech"] = wav
         else:
             out["speech"] = self.speech[key].astype(np.float32)

@@ -19,6 +19,7 @@ the reference's — augmentation is IO-bound, the TPU step never sees it.
 
 from __future__ import annotations
 
+import zlib
 from typing import Optional
 
 import numpy as np
@@ -68,7 +69,12 @@ class SpeechPreprocessor:
         self.rir_apply_prob = rir_apply_prob
         self.noise_apply_prob = noise_apply_prob
         self.speech_volume_normalize = speech_volume_normalize
-        self.rng = np.random.RandomState(seed)
+        # No shared mutable RNG: __call__ runs inside EpochIterator's
+        # ThreadPoolExecutor collate workers, and np.random.RandomState is
+        # not thread-safe — concurrent draws would race and make the
+        # augmentation nondeterministic. Each call derives a fresh
+        # generator from (seed, uid) instead.
+        self.seed = seed
         self.rirs = (sorted(read_2column_text(rir_scp).values())
                      if rir_scp else None)
         self.noises = (sorted(read_2column_text(noise_scp).values())
@@ -84,10 +90,10 @@ class SpeechPreprocessor:
                 "(e.g. '-3_4' -> [-3dB, 4dB])"
             )
 
-    def _convolve_rir(self, speech, power):
+    def _convolve_rir(self, speech, power, rng):
         """speech (C, N); full conv with a random RIR, truncated, power
         restored (preprocessor.py:221)."""
-        rir, _ = read_wav(self.rng.choice(self.rirs))
+        rir, _ = read_wav(self.rirs[int(rng.integers(len(self.rirs)))])
         rir = rir.astype(np.float64)
         rir = rir[:, None] if rir.ndim == 1 else rir
         rir = rir.T                                  # (C_rir, L)
@@ -100,23 +106,23 @@ class SpeechPreprocessor:
         power2 = (out[detect_non_silence(out)] ** 2).mean()
         return np.sqrt(power / max(power2, 1e-10)) * out
 
-    def _add_noise(self, speech, power):
+    def _add_noise(self, speech, power, rng):
         """speech (C, N); mix a random noise at a uniform SNR
         (preprocessor.py:240)."""
         nsamples = speech.shape[1]
-        noise, _ = read_wav(self.rng.choice(self.noises))
+        noise, _ = read_wav(self.noises[int(rng.integers(len(self.noises)))])
         noise = noise.astype(np.float64)
         noise = noise[:, None] if noise.ndim == 1 else noise  # (L, C)
-        noise_db = self.rng.uniform(self.noise_db_low, self.noise_db_high)
+        noise_db = rng.uniform(self.noise_db_low, self.noise_db_high)
         ln = noise.shape[0]
         if ln == nsamples:
             pass
         elif ln < nsamples:
-            offset = self.rng.randint(0, nsamples - ln + 1)
+            offset = int(rng.integers(0, nsamples - ln + 1))
             noise = np.pad(noise, [(offset, nsamples - ln - offset), (0, 0)],
                            mode="wrap")
         else:
-            offset = self.rng.randint(0, ln - nsamples + 1)
+            offset = int(rng.integers(0, ln - nsamples + 1))
             noise = noise[offset:offset + nsamples]
         noise = noise.T                               # (C, N)
         if noise.shape[0] < speech.shape[0]:
@@ -126,16 +132,23 @@ class SpeechPreprocessor:
                  / np.sqrt(max(noise_power, 1e-10)))
         return speech + scale * noise[: speech.shape[0]]
 
-    def __call__(self, speech: np.ndarray) -> np.ndarray:
+    def __call__(self, speech: np.ndarray, uid: str = "") -> np.ndarray:
+        # per-utterance generator seeded from (seed, uid): thread-safe under
+        # concurrent collate workers AND reproducible per utterance across
+        # runs/epoch orders (reference keeps one RandomState but loads
+        # single-threaded; we parallelize, so determinism must not depend
+        # on call order).
+        rng = np.random.default_rng(
+            (self.seed, zlib.crc32(uid.encode("utf-8"))))
         mono = speech.ndim == 1
         out = speech.astype(np.float64)
         out = out[None, :] if mono else out.T         # (C, N)
         if self.train and (self.rirs or self.noises):
             power = (out[detect_non_silence(out)] ** 2).mean()
-            if self.rirs and self.rir_apply_prob >= self.rng.random():
-                out = self._convolve_rir(out, power)
-            if self.noises and self.noise_apply_prob >= self.rng.random():
-                out = self._add_noise(out, power)
+            if self.rirs and self.rir_apply_prob >= rng.random():
+                out = self._convolve_rir(out, power, rng)
+            if self.noises and self.noise_apply_prob >= rng.random():
+                out = self._add_noise(out, power, rng)
             ma = np.max(np.abs(out))
             if ma > 1.0:
                 out = out / ma

@@ -414,7 +414,11 @@ class TransducerASRModel(nn.Module):
             dec_init=dec_init,
             dec_step=lambda st, tok: self.decoder.step(st, tok),
             config=TransducerSearchConfig(
-                beam_size=beam_size, max_expansions=max_sym_exp,
+                # reference max_sym_exp counts joint levels (v in
+                # range(max_sym_exp), beam_search_transducer.py tsd loop);
+                # max_expansions counts label emissions between levels, so
+                # max_sym_exp = max_expansions + 1.
+                beam_size=beam_size, max_expansions=max(max_sym_exp - 1, 1),
                 blank_id=c.blank_id, max_tokens=max_tokens,
                 score_norm=score_norm,
             ),

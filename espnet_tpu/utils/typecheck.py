@@ -23,8 +23,12 @@ def check_batch(batch: Dict, names: Sequence[str] = ()) -> None:
 
     - every value is a numpy/JAX array (no object dtype, no lists)
     - all leading (batch) dimensions agree
-    - every `<name>_lengths` is int32/int64, rank 1, and its max does not
-      exceed the padded length of `<name>`
+    - every `<name>_lengths` is int32/int64, rank 1 (one length per item)
+      or rank 2 (per-stream/per-speaker lengths, (B, n_streams) — asr_mix
+      collates `text_spk_lengths` as (B, n_spk) and mulenc collates
+      `speech_stream_lengths` as (B, n_enc), mirroring the reference's
+      CustomConverter in `espnet/asr/pytorch_backend/asr_mix.py`), and its
+      max does not exceed the padded axis of `<name>`
     - floating payloads are float32/bfloat16/float16 (a float64 batch means
       a collate bug and would silently double every transfer)
     """
@@ -52,11 +56,17 @@ def check_batch(batch: Dict, names: Sequence[str] = ()) -> None:
             continue
         if not np.issubdtype(np.asarray(v).dtype, np.integer):
             raise TypeError(f"batch[{k!r}] must be integer, got {v.dtype}")
-        if v.ndim != 1:
-            raise ValueError(f"batch[{k!r}] must be rank 1, got {v.shape}")
+        if v.ndim not in (1, 2):
+            raise ValueError(
+                f"batch[{k!r}] must be rank 1 (per-item) or rank 2 "
+                f"(per-stream, (B, n)), got {v.shape}")
         base = k[: -len("_lengths")]
-        if base in batch and batch[base].ndim >= 2:
-            mx = int(np.max(np.asarray(v))) if v.shape[0] else 0
+        # rank-1 lengths pad along payload axis 1; rank-2 (per-stream)
+        # lengths pad along the payload's time axis, which is also axis 1
+        # for the (B, T, n_streams) layouts used here — only validate when
+        # the payload has such an axis.
+        if base in batch and batch[base].ndim >= v.ndim + 1:
+            mx = int(np.max(np.asarray(v))) if v.size else 0
             t = batch[base].shape[1]
             if mx > t:
                 raise ValueError(

@@ -14,8 +14,14 @@ if "/root/reference" not in sys.path:  # pragma: no cover
     sys.path.insert(0, "/root/reference")
 
 # espnet.lm.lm_utils imports chainer/h5py at module level; stub the bits the
-# import needs (make_lexical_tree itself is pure python)
+# import needs (make_lexical_tree itself is pure python). The stubs are
+# removed from sys.modules right after the reference import below — a
+# leaked fake `chainer` breaks any later test whose reference import does
+# `try: import chainer / except ImportError` (e.g. tts_interface.py:10-16,
+# hit by test_reference_parity's tacotron2 test).
 import types
+
+_STUBBED: list = []
 
 if "chainer" not in sys.modules:
     chainer = types.ModuleType("chainer")
@@ -42,11 +48,14 @@ if "chainer" not in sys.modules:
     sys.modules["chainer.training"] = training
     sys.modules["chainer.training.extension"] = extension
     sys.modules["chainer.dataset"] = dataset
+    _STUBBED += ["chainer", "chainer.training",
+                 "chainer.training.extension", "chainer.dataset"]
 if "h5py" not in sys.modules:
     try:
         import h5py  # noqa: F401
     except Exception:
         sys.modules["h5py"] = types.ModuleType("h5py")
+        _STUBBED.append("h5py")
 if "tqdm" not in sys.modules:
     try:
         from tqdm import tqdm  # noqa: F401
@@ -54,11 +63,17 @@ if "tqdm" not in sys.modules:
         tqdm_mod = types.ModuleType("tqdm")
         tqdm_mod.tqdm = lambda x, **kw: x
         sys.modules["tqdm"] = tqdm_mod
+        _STUBBED.append("tqdm")
 
 try:
     from espnet.lm.pytorch_backend.extlm import LookAheadWordLM as TorchLA
 except Exception:  # pragma: no cover
     pytest.skip("reference unavailable", allow_module_level=True)
+finally:
+    # undo the stubs: the already-imported espnet.lm modules keep their own
+    # references; nothing else may see a fake chainer/h5py/tqdm.
+    for _name in _STUBBED:
+        sys.modules.pop(_name, None)
 
 from espnet_tpu.decode.extlm import (
     LookAheadWordLM, make_lexical_tree,

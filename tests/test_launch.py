@@ -75,11 +75,68 @@ WORKER = textwrap.dedent("""
 """)
 
 
+def test_local_fail_fast_kills_hung_peer(tmp_path):
+    """One rank crashes while the other hangs: the launcher must detect the
+    crash concurrently (not wait on rank 0 first), kill the straggler, and
+    propagate the failing rank's rc (reference
+    `espnet/distributed/pytorch_backend/launch.py:198-231`)."""
+    import time
+
+    from espnet_tpu.bin.launch import run_local
+
+    worker = tmp_path / "crash_or_hang.py"
+    worker.write_text(textwrap.dedent("""
+        import os, sys, time
+        if os.environ["JAX_PROCESS_ID"] == "1":
+            sys.exit(7)      # crashing rank
+        time.sleep(600)      # rank 0 hangs in a 'barrier'
+    """))
+    t0 = time.monotonic()
+    rc = run_local([sys.executable, str(worker)], 2, tmp_path / "logs")
+    elapsed = time.monotonic() - t0
+    assert rc == 7
+    assert elapsed < 60, f"fail-fast took {elapsed:.0f}s (sequential wait?)"
+
+
+def test_quoting_survives_spaces_and_quotes(capsys):
+    """slurm/ssh command assembly must survive args with spaces/quotes —
+    the inner command is re-quoted once for the outer shell."""
+    import shlex
+
+    tricky = ["python", "train.py", "--note", "it's a test", "--x", "a b"]
+    rc = launch_main(["--cmd", "ssh", "--hosts", "h1", "--dry_run", "--",
+                      *tricky])
+    out = capsys.readouterr().out.strip()
+    assert rc == 0
+    # outer parse: ssh h1 <one remote command string>
+    parts = shlex.split(out)
+    assert parts[:2] == ["ssh", "h1"]
+    assert len(parts) == 3
+    # remote shell parse: env assignments + the original argv, intact
+    remote = shlex.split(parts[2])
+    assert remote[-len(tricky):] == tricky
+
+    rc = launch_main(["--cmd", "slurm", "--nproc", "1", "--dry_run",
+                      "--log_dir", "/tmp/x", "--", *tricky])
+    out = capsys.readouterr().out
+    assert rc == 0
+    srun_line = next(ln for ln in out.splitlines() if "srun" in ln)
+    parts = shlex.split(srun_line)
+    inner = shlex.split(parts[-1])  # the bash -c script
+    assert inner[-len(tricky):] == tricky
+
+
 def test_local_two_process_launch(tmp_path):
     worker = tmp_path / "worker.py"
     worker.write_text(WORKER)
     out = tmp_path / "result"
-    env = {"TEST_OUT": str(out)}
+    # the workers are fresh interpreters with worker.py's dir as sys.path[0];
+    # make the package under test importable regardless of install state
+    repo_root = str(Path(__file__).resolve().parents[1])
+    pythonpath = repo_root + (
+        ":" + __import__("os").environ["PYTHONPATH"]
+        if __import__("os").environ.get("PYTHONPATH") else "")
+    env = {"TEST_OUT": str(out), "PYTHONPATH": pythonpath}
     from espnet_tpu.bin.launch import run_local
 
     rc = run_local([sys.executable, str(worker)], 2,
