@@ -17,6 +17,7 @@ import dataclasses
 from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from espnet_tpu.models.enh.layers import (
@@ -27,7 +28,10 @@ from espnet_tpu.models.enh.separators import (
     ConformerSeparator, DPRNNSeparator, DPTNetSeparator, SkiMSeparator,
     TCNSeparator, TransformerSeparator,
 )
-from espnet_tpu.ops.enh_losses import pit_solve, si_snr_loss, snr_loss
+from espnet_tpu.ops.enh_losses import (
+    ci_sdr_loss, dpcl_loss, mask_label, mixit_solve, pit_solve,
+    si_snr_loss, snr_loss, spectral_l1_loss, tf_mse_loss, time_mse_loss,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -87,8 +91,16 @@ class EnhConfig:
     bf_layers: int = 2
     ref_channel: int = 0
     nonlinear: str = "relu"
-    # loss
-    loss_type: str = "si_snr"        # si_snr | snr
+    # loss — criterion+wrapper assembled like the reference's
+    # `espnet2/tasks/enh.py` criterion/wrapper lists, collapsed to one
+    # selector (`espnet2/enh/espnet_model.py:213` forward_loss):
+    #   si_snr | snr | ci_sdr | time_mse      PIT over time-domain wavs
+    #   tf_mse | spectral_l1                  PIT over est/ref magnitude STFTs
+    #   mask_mse_ibm|irm|iam|psm|npsm         PIT over predicted vs ideal masks
+    #   dpcl                                  deep-clustering affinity (DAN emb)
+    #   mixit                                 mixture-invariant assignment
+    loss_type: str = "si_snr"
+    ci_sdr_filter_length: int = 512
     dropout_rate: float = 0.1
     dtype: Any = jnp.float32
 
@@ -226,20 +238,160 @@ class EnhancementModel(nn.Module):
                  deterministic: bool = True):
         """speech_ref: (B, n, n_spk) (collate layout — sample axis padded)
         or (B, n_spk, n). Returns (loss, stats)
-        (`espnet_model.py:69` + PITSolver)."""
+        (`espnet_model.py:69` + the criterion/wrapper dispatch of
+        `espnet_model.py:213` forward_loss)."""
         c = self.config
         if speech_ref.shape[-1] == c.num_spk:
             speech_refs = speech_ref.transpose(0, 2, 1)
         else:
             speech_refs = speech_ref
-        est, _ = self.forward_enhance(
+        est, others = self.forward_enhance(
             speech_mix, speech_mix_lengths, deterministic
         )
-        crit = si_snr_loss if c.loss_type == "si_snr" else snr_loss
-        loss_fn = lambda r, e: crit(r, e, speech_mix_lengths)
-        best, perm = pit_solve(loss_fn, speech_refs, est)
-        loss = jnp.mean(best)
-        stats = {"loss": loss}
-        if c.loss_type == "si_snr":
-            stats["si_snr"] = -loss
-        return loss, stats
+        return self.forward_loss(
+            est, others, speech_mix, speech_mix_lengths, speech_refs
+        )
+
+    # --- loss dispatch ----------------------------------------------------
+    def _stft(self, wav):
+        from espnet_tpu.ops.stft import stft
+
+        c = self.config
+        return stft(wav, c.n_fft, c.hop_length)
+
+    def _stft_lens(self, lengths):
+        from espnet_tpu.ops.stft import stft_frames_lengths
+
+        c = self.config
+        return stft_frames_lengths(lengths, c.n_fft, c.hop_length)
+
+    def forward_loss(self, est, others, speech_mix, speech_mix_lengths,
+                     speech_refs):
+        """est (B, n_spk, n) waveforms; speech_refs (B, n_spk, n).
+
+        Criterion+wrapper table (reference `espnet2/tasks/enh.py` builds
+        these from config lists; `pit_solver.py:10`, `mixit_solver.py:13`):
+        every entry of `ops/enh_losses.py` is selectable here and therefore
+        from `bin/enh_train.py --model.loss_type`.
+        """
+        c = self.config
+        lt = c.loss_type
+        stats: Dict[str, jnp.ndarray] = {}
+
+        time_crits = {
+            "si_snr": si_snr_loss,
+            "snr": snr_loss,
+            "time_mse": time_mse_loss,
+            "ci_sdr": lambda r, e, ln: ci_sdr_loss(
+                r, e, ln, filter_length=c.ci_sdr_filter_length),
+        }
+        if lt in time_crits:
+            crit = time_crits[lt]
+            loss_fn = lambda r, e: crit(r, e, speech_mix_lengths)
+            best, _ = pit_solve(loss_fn, speech_refs, est)
+            loss = jnp.mean(best)
+            if lt == "si_snr":
+                stats["si_snr"] = -loss
+            stats["loss"] = loss
+            return loss, stats
+
+        if lt == "mixit":
+            # mixture-invariant training: the "refs" are mixtures of
+            # sources; each estimate is assigned to one mixture and the
+            # assigned sums are scored (`wrappers/mixit_solver.py:13`).
+            loss_fn = lambda r, e: si_snr_loss(r, e, speech_mix_lengths)
+            best, _ = mixit_solve(loss_fn, speech_refs, est)
+            loss = jnp.mean(best)
+            stats["loss"] = loss
+            return loss, stats
+
+        if lt in ("tf_mse", "spectral_l1"):
+            # frequency-domain criterion over magnitude spectra of the
+            # estimated vs reference waveforms (`tf_domain.py`
+            # FrequencyDomainMSE/L1 with compute_on_mask=False), PIT-wrapped.
+            flens = self._stft_lens(speech_mix_lengths)
+            def mag(w):
+                re, im = self._stft(w)
+                return jnp.sqrt(re ** 2 + im ** 2 + 1e-8)
+            b, s, n = est.shape
+            est_mag = mag(est.reshape(b * s, n))
+            ref_mag = mag(speech_refs.reshape(b * s, n))
+            est_mag = est_mag.reshape(b, s, *est_mag.shape[1:])
+            ref_mag = ref_mag.reshape(b, s, *ref_mag.shape[1:])
+            crit = tf_mse_loss if lt == "tf_mse" else spectral_l1_loss
+            loss_fn = lambda r, e: crit(r, e, flens)
+            best, _ = pit_solve(loss_fn, ref_mag, est_mag)
+            loss = jnp.mean(best)
+            stats["loss"] = loss
+            return loss, stats
+
+        if lt.startswith("mask_mse_"):
+            # masked TF-MSE between the separator's predicted masks and the
+            # ideal mask labels (`tf_domain.py:17` _create_mask_label +
+            # FrequencyDomainMSE(compute_on_mask=True)), PIT-wrapped.
+            mask_type = lt[len("mask_mse_"):].upper()
+            if c.encoder_type != "stft" or "mask_spk1" not in others:
+                raise ValueError(
+                    "mask_mse_* needs encoder_type='stft' and a masking "
+                    "separator (predicted TF masks)")
+            mix_re, mix_im = self._stft(speech_mix)
+            flens = self._stft_lens(speech_mix_lengths)
+            f = mix_re.shape[-1]
+            labels, preds = [], []
+            for i in range(c.num_spk):
+                ref_re, ref_im = self._stft(speech_refs[:, i])
+                labels.append(mask_label(
+                    mix_re, mix_im, ref_re, ref_im, mask_type))
+                m = others[f"mask_spk{i + 1}"]
+                if m.shape[-1] == 2 * f:
+                    # masks live on the concat(real, imag) feature axis of
+                    # the STFT encoder; the magnitude mask is the mean of
+                    # the two halves
+                    m = 0.5 * (m[..., :f] + m[..., f:])
+                preds.append(m)
+            labels = jnp.stack(labels, axis=1)          # (B, S, T, F)
+            preds = jnp.stack(preds, axis=1)
+            loss_fn = lambda r, e: tf_mse_loss(r, e, flens)
+            best, _ = pit_solve(loss_fn, labels, preds)
+            loss = jnp.mean(best)
+            stats["loss"] = loss
+            return loss, stats
+
+        if lt == "dpcl":
+            # deep-clustering affinity loss over unit-norm TF embeddings
+            # vs one-hot dominance labels (`tf_domain.py`
+            # FrequencyDomainDPCL); fixed-order (no PIT — the loss is
+            # permutation-free by construction).
+            if "embedding" not in others:
+                raise ValueError(
+                    "loss_type='dpcl' needs a separator exposing TF "
+                    "embeddings (separator_type='dan')")
+            emb = others["embedding"]                   # (B, TF, D)
+            emb = emb / jnp.maximum(
+                jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-8)
+            mix_re, _ = self._stft(speech_mix)
+            b, t, f = mix_re.shape
+            mags = []
+            for i in range(c.num_spk):
+                re, im = self._stft(speech_refs[:, i])
+                mags.append(jnp.sqrt(re ** 2 + im ** 2 + 1e-8))
+            mags = jnp.stack(mags, axis=-1)             # (B, T, F, S)
+            dom = jnp.argmax(mags, axis=-1)             # (B, T, F)
+            if emb.shape[1] == t * 2 * f:
+                # embeddings live on the concat(real, imag) feature axis of
+                # the STFT encoder: the dominance label of a bin applies to
+                # both its real and imag slots
+                dom = jnp.concatenate([dom, dom], axis=-1)
+            elif emb.shape[1] != t * f:
+                raise ValueError(
+                    f"embedding TF axis {emb.shape[1]} matches neither "
+                    f"T*F={t * f} nor T*2F — dpcl needs encoder_type='stft'"
+                    " with matching n_fft/hop_length")
+            n_bins = emb.shape[1]
+            ref_masks = jax.nn.one_hot(
+                dom.reshape(b, n_bins), c.num_spk, dtype=emb.dtype)
+            loss = jnp.mean(dpcl_loss(emb, ref_masks)) / n_bins
+            stats["loss"] = loss
+            return loss, stats
+
+        raise ValueError(f"unknown loss_type {lt}")

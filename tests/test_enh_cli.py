@@ -61,3 +61,39 @@ def test_enh_inference_cli(workspace):
     assert (outdir / "si_snr.txt").exists()
     wavs = list((outdir / "wav").glob("*.wav"))
     assert len(wavs) == 6  # 3 utts x 2 speakers
+
+
+def test_enh_train_cli_ci_sdr(workspace):
+    """Non-default criterion selected purely via --model.loss_type: the
+    ops/enh_losses.py zoo is reachable from bin/enh_train.py flags
+    (reference: criterion lists in `espnet2/tasks/enh.py`)."""
+    from espnet_tpu.bin.enh_train import main
+
+    main([
+        "--run.output_dir", str(workspace / "exp_cisdr"),
+        "--run.max_epoch", "1",
+        "--run.log_interval", "1000",
+        "--run.best_metric", "valid.loss.min",
+        "--data.train_dir", str(workspace / "data" / "train"),
+        "--data.valid_dir", str(workspace / "data" / "train"),
+        "--data.batch_size", "4",
+        "--model.enc_channels", "16",
+        "--model.enc_kernel", "16",
+        "--model.enc_stride", "8",
+        "--model.separator_type", "tcn",
+        "--model.tcn_layers", "2",
+        "--model.tcn_stacks", "1",
+        "--model.tcn_bottleneck", "8",
+        "--model.tcn_hidden", "16",
+        "--model.dropout_rate", "0.0",
+        "--model.loss_type", "ci_sdr",
+        "--model.ci_sdr_filter_length", "32",
+        "--optim.schedule", "constant",
+        "--optim.lr", "0.001",
+    ])
+    import yaml
+
+    exp = workspace / "exp_cisdr"
+    assert (exp / "checkpoint.msgpack").exists()
+    cfg = yaml.safe_load((exp / "config.yaml").read_text())
+    assert cfg["model"]["loss_type"] == "ci_sdr"
