@@ -33,6 +33,13 @@ class EnhDataConfig:
     length_quantum: int = 4096
     num_shards: int = 1
     shard_index: int = 0
+    # chunk iterator (reference `espnet2/tasks/abs_task.py:1589`
+    # build_chunk_iter_factory + `espnet2/iterators/chunk_iter_factory.py:13`
+    # — the enh recipes' iterator_type=chunk): fixed-length windows pooled
+    # across utterances, every train batch one static shape.
+    iterator_type: str = "sequence"   # sequence | chunk
+    chunk_length: int = 32000
+    chunk_shift_ratio: float = 0.5
 
 
 class EnhTask(AbsTask):
@@ -81,11 +88,25 @@ class EnhTask(AbsTask):
             )
 
         fields = ("speech_mix", "speech_ref")
-        train_iter = EpochIterator(
-            train_ds, make_batches(train_ds), seed=run.seed,
-            num_shards=data.num_shards, shard_index=data.shard_index,
-            fields=fields,
-        )
+        if data.iterator_type == "chunk":
+            from espnet_tpu.data.dataset import ChunkIterator
+
+            train_iter = ChunkIterator(
+                train_ds, train_ds.keys(), data.chunk_length,
+                data.batch_size, data.chunk_shift_ratio, seed=run.seed,
+                fields=fields, num_shards=data.num_shards,
+                shard_index=data.shard_index,
+            )
+        elif data.iterator_type == "sequence":
+            train_iter = EpochIterator(
+                train_ds, make_batches(train_ds), seed=run.seed,
+                num_shards=data.num_shards, shard_index=data.shard_index,
+                fields=fields,
+            )
+        else:
+            raise ValueError(
+                f"unknown iterator_type {data.iterator_type!r} "
+                "(sequence | chunk)")
         valid_iter = (
             EpochIterator(valid_ds, make_batches(valid_ds), seed=run.seed,
                           shuffle=False, num_shards=data.num_shards,

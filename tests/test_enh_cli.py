@@ -97,3 +97,34 @@ def test_enh_train_cli_ci_sdr(workspace):
     assert (exp / "checkpoint.msgpack").exists()
     cfg = yaml.safe_load((exp / "config.yaml").read_text())
     assert cfg["model"]["loss_type"] == "ci_sdr"
+
+
+def test_enh_train_cli_chunk_iterator(workspace):
+    """iterator_type=chunk trains on fixed-length windows (reference
+    `espnet2/tasks/abs_task.py:1589` build_chunk_iter_factory +
+    `chunk_iter_factory.py:13`), giving every train batch one static shape."""
+    from espnet_tpu.bin.enh_train import main
+
+    main([
+        "--run.output_dir", str(workspace / "exp_chunk"),
+        "--run.max_epoch", "1",
+        "--run.log_interval", "1000",
+        "--run.best_metric", "valid.loss.min",
+        "--data.train_dir", str(workspace / "data" / "train"),
+        "--data.valid_dir", str(workspace / "data" / "train"),
+        "--data.batch_size", "4",
+        "--data.iterator_type", "chunk",
+        "--data.chunk_length", "2048",
+        "--model.enc_channels", "16",
+        "--model.enc_kernel", "16",
+        "--model.enc_stride", "8",
+        "--model.separator_type", "tcn",
+        "--model.tcn_layers", "2",
+        "--model.tcn_stacks", "1",
+        "--model.tcn_bottleneck", "8",
+        "--model.tcn_hidden", "16",
+        "--model.dropout_rate", "0.0",
+        "--optim.schedule", "constant",
+        "--optim.lr", "0.001",
+    ])
+    assert (workspace / "exp_chunk" / "checkpoint.msgpack").exists()
