@@ -37,6 +37,18 @@ def get_parser():
     p.add_argument("--ctc_weight", type=float, default=0.3)
     p.add_argument("--lm_weight", type=float, default=0.0)
     p.add_argument("--lm_exp_dir", default=None)
+    p.add_argument("--word_lm_exp_dir", default=None,
+                   help="word-level RNN LM experiment (LMTask, "
+                        "token_type=word, lm_type=rnn). With --lm_exp_dir "
+                        "it fuses as MultiLevelLM; alone as LookAheadWordLM "
+                        "(reference asr_recog --word-rnnlm/--word-dict, "
+                        "espnet/lm/pytorch_backend/extlm.py:18,117). The "
+                        "fusion weight is --lm_weight.")
+    p.add_argument("--subwordlm_weight", type=float, default=0.8,
+                   help="MultiLevelLM within-word char-LM weight")
+    p.add_argument("--oov_penalty", type=float, default=None,
+                   help="extlm OOV penalty (default: per-class reference "
+                        "defaults)")
     p.add_argument("--ngram_file", default=None, help="ARPA LM for fusion")
     p.add_argument("--ngram_weight", type=float, default=0.0)
     p.add_argument("--penalty", type=float, default=0.0)
@@ -130,6 +142,91 @@ def main(argv=None):
         lm_model = LMTask.build_inference_lm(lm_cfg["model"], len(converter))
         lm_params = full["lm"]
 
+    extra_scorers = []
+    if args.word_lm_exp_dir and args.lm_weight > 0:
+        from espnet_tpu.data.tokenizer import TokenIDConverter
+        from espnet_tpu.decode.extlm import (
+            LookAheadWordLM, MultiLevelLM, make_lexical_tree,
+        )
+        from espnet_tpu.decode.scorers import Scorer
+        from espnet_tpu.tasks.lm import LMTask
+
+        wexp = Path(args.word_lm_exp_dir)
+        wcfg = LMTask.load_config(wexp)
+        if wcfg["model"].lm_type != "rnn":
+            raise ValueError(
+                "--word_lm_exp_dir must be an lm_type=rnn LM: the word LM "
+                "is consulted at per-hypothesis word boundaries, so its "
+                "cache must be position-free (reference uses word RNNLMs, "
+                "espnet/bin/asr_recog.py --word-rnnlm)")
+        word_conv = TokenIDConverter.from_file(wexp / "tokens.txt")
+        word_dict = {t: i for i, t in enumerate(word_conv.token_list)}
+        subword_dict = {t: i for i, t in enumerate(converter.token_list)}
+        word_eos = word_dict["<sos/eos>"]
+        word_unk = word_dict.get("<unk>", 1)
+        tree = make_lexical_tree(word_dict, subword_dict, word_unk)
+
+        wtrain = LMTask.build_model(wcfg["model"], len(word_conv))
+        wtarget = nn.meta.unbox(
+            wtrain.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32),
+                        jnp.asarray([4]), True))
+        wfull = load_pytree(pick_params_file(wexp), wtarget["params"])
+        wlm = LMTask.build_inference_lm(wcfg["model"], len(word_conv))
+        wvars = {"params": wfull["lm"]}
+
+        def wordlm_cache_init(b):
+            return wlm.apply(wvars, b, method=type(wlm).init_cache)
+
+        def wordlm_step(cache, words):
+            return wlm.apply(wvars, words, 0, cache,
+                             method=type(wlm).score_step)
+
+        space = subword_dict.get("<space>", -1)
+        eos_id = len(converter) - 1          # <sos/eos> is last
+        if lm_model is not None:
+            # char LM present -> MultiLevelLM prob-substitution; the char
+            # LM is consumed here (it rides inside the combined scorer)
+            if getattr(lm_cfg["model"], "lm_type", "") != "rnn":
+                raise ValueError(
+                    "MultiLevelLM needs an lm_type=rnn char LM in "
+                    "--lm_exp_dir (position-free cache)")
+            # bind to fresh names: lm_model/lm_params are rebound to None
+            # below (the char LM is consumed), and the closures run lazily
+            # at beam-search trace time
+            clm_module, clm_vars = lm_model, {"params": lm_params}
+
+            def clm_cache_init(b):
+                return clm_module.apply(clm_vars, b,
+                                        method=type(clm_module).init_cache)
+
+            def clm_step(cache, tokens):
+                return clm_module.apply(clm_vars, tokens, 0, cache,
+                                        method=type(clm_module).score_step)
+
+            ml = MultiLevelLM(
+                wordlm_step, wordlm_cache_init, clm_step, clm_cache_init,
+                tree, word_eos=word_eos, word_unk=word_unk, space=space,
+                eos=eos_id, subword_size=len(converter),
+                subwordlm_weight=args.subwordlm_weight,
+                oov_penalty=(args.oov_penalty
+                             if args.oov_penalty is not None else 1.0),
+            )
+            extra_scorers.append(Scorer(
+                args.lm_weight, lambda n, s: ml.init_cache(n),
+                ml.make_score_fn(), name="multilevel_lm"))
+            lm_model = lm_params = None
+        else:
+            la = LookAheadWordLM(
+                wordlm_step, wordlm_cache_init, tree,
+                word_eos=word_eos, word_unk=word_unk, space=space,
+                eos=eos_id, subword_size=len(converter),
+                oov_penalty=(args.oov_penalty
+                             if args.oov_penalty is not None else 1e-4),
+            )
+            extra_scorers.append(Scorer(
+                args.lm_weight, lambda n, s: la.init_cache(n),
+                la.make_score_fn(), name="lookahead_word_lm"))
+
     ngram_scorer = None
     if args.ngram_file and args.ngram_weight > 0:
         from espnet_tpu.lm.ngram import DenseNgramScorer, NgramModel
@@ -156,6 +253,7 @@ def main(argv=None):
             ngram_scorer=ngram_scorer, ngram_weight=args.ngram_weight,
             penalty=args.penalty, maxlenratio=args.maxlenratio,
             minlenratio=args.minlenratio, max_steps=args.max_steps,
+            extra_scorers=extra_scorers,
         )
 
     hyps_text = {}

@@ -36,12 +36,20 @@ class ASRDataset:
         src_converter=None,
         multichannel: bool = False,
         preprocessor=None,
+        transform=None,
+        transform_train: bool = True,
     ):
         # multichannel=True keeps (N, C) wavs intact (WPE/beamformer
         # front-end inside the ASR model); default selects channel 0.
         # preprocessor: optional callable wav -> wav applied to raw speech
         # on access (data/preprocess.py SpeechPreprocessor: RIR/noise/volume,
         # reference CommonPreprocessor `espnet2/train/preprocessor.py:283`)
+        # transform: optional data/transform.py Transformation applied to
+        # the loaded speech (wav or feats) on access — the `--preprocess_conf`
+        # pipeline of the reference's LoadInputsAndTargets
+        # (`espnet/utils/io_utils.py:14`); may change the length/feature
+        # axes (e.g. fbank from raw), so speech_lengths() falls back to a
+        # full first pass when set.
         if (wav_scp is None) == (feats_scp is None):
             raise ValueError("exactly one of wav_scp/feats_scp required")
         if wav_scp:
@@ -62,6 +70,8 @@ class ASRDataset:
         self.src_converter = src_converter or converter
         self.multichannel = multichannel
         self.preprocessor = preprocessor
+        self.transform = transform
+        self.transform_train = transform_train
 
     def keys(self) -> List[str]:
         return list(self.speech.keys())
@@ -69,8 +79,7 @@ class ASRDataset:
     def __len__(self):
         return len(self.speech)
 
-    def __getitem__(self, key: str) -> Dict[str, np.ndarray]:
-        out: Dict[str, np.ndarray] = {}
+    def _load_speech_raw(self, key: str) -> np.ndarray:
         if self.is_raw:
             wav, sr = self.speech[key]
             if sr != self.fs:
@@ -82,9 +91,20 @@ class ASRDataset:
             wav = wav.astype(np.float32)
             if self.preprocessor is not None:
                 wav = self.preprocessor(wav, uid=key)
-            out["speech"] = wav
-        else:
-            out["speech"] = self.speech[key].astype(np.float32)
+            return wav
+        return self.speech[key].astype(np.float32)
+
+    def _load_speech(self, key: str) -> np.ndarray:
+        wav = self._load_speech_raw(key)
+        if self.transform is not None:
+            wav = np.asarray(
+                self.transform(wav, train=self.transform_train, uttid=key),
+                np.float32,
+            )
+        return wav
+
+    def __getitem__(self, key: str) -> Dict[str, np.ndarray]:
+        out: Dict[str, np.ndarray] = {"speech": self._load_speech(key)}
         if self.text is not None:
             toks = self.tokenizer.text2tokens(self.text[key])
             out["text"] = np.asarray(self.converter.tokens2ids(toks), np.int32)
@@ -97,8 +117,18 @@ class ASRDataset:
 
     def speech_lengths(self) -> Dict[str, int]:
         """First-pass lengths (samples or frames) — used by the sampler.
-        Reads headers only for wav (cheap); full read for npy."""
+        Reads headers only for wav (cheap); full read for npy. With an
+        on-access transform the output length is transform-dependent, so
+        this becomes a real first pass (deterministic eval-mode lengths) —
+        the reference pays the same cost in its shape-file stage
+        (`egs2/TEMPLATE/asr1/asr.sh` stage 10 collect-stats)."""
         out = {}
+        if self.transform is not None:
+            for k in self.speech.keys():
+                x = self.transform(
+                    self._load_speech_raw(k), train=False, uttid=k)
+                out[k] = int(np.asarray(x).shape[0])
+            return out
         for k in self.speech.keys():
             if self.is_raw:
                 import wave as wave_mod

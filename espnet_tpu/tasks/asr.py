@@ -58,6 +58,12 @@ class ASRDataConfig:
     noise_db_range: str = "13_15"
     # rescale waveform peak to this value (applies to valid/decode too)
     speech_volume_normalize: float = 0.0
+    # YAML transform pipeline applied to loaded speech on access
+    # (data/transform.py Transformation; the reference's --preprocess-conf
+    # consumed via LoadInputsAndTargets, `espnet/utils/io_utils.py:14`).
+    # Typically pairs with model.input_type=feats when the pipeline emits
+    # features (fbank/stft/cmvn/delta) from raw wavs.
+    preprocess_conf: str = ""
 
 
 @dataclasses.dataclass(frozen=True)
@@ -75,6 +81,8 @@ class ASRTask(AbsTask):
         "data": ASRDataConfig,
         "model": ASRModelSection,
     }
+    # per-step model RNG streams (subclasses add theirs, e.g. maskctc "mask")
+    rng_names = ("dropout", "specaug")
 
     # --- builders --------------------------------------------------------
     @classmethod
@@ -109,6 +117,11 @@ class ASRTask(AbsTask):
         dd = Path(datadir)
         kw = dict(text=dd / "text", tokenizer=tokenizer, converter=converter,
                   fs=data.fs)
+        if data.preprocess_conf:
+            from espnet_tpu.data.transform import Transformation
+
+            kw["transform"] = Transformation(data.preprocess_conf)
+            kw["transform_train"] = train
         if data.input_type == "raw":
             pre = None
             if (data.rir_scp or data.noise_scp
@@ -227,7 +240,8 @@ class ASRTask(AbsTask):
         phase, key, mode = run.best_metric.split(".")
         trainer = Trainer(
             model, tx, out,
-            TrainerOptions(
+            rng_names=cls.rng_names,
+            options=TrainerOptions(
                 max_epoch=run.max_epoch,
                 patience=run.patience,
                 keep_nbest=run.keep_nbest,

@@ -82,6 +82,7 @@ class Trainer:
                                           accum_steps=options.accum_grad)
         self.eval_step = make_eval_step(model, batch_arg_names=batch_arg_names)
         self.batch_arg_names = batch_arg_names
+        self.rng_names = tuple(rng_names)
         self.device_put = device_put or (lambda b: b)
 
     def init_state(self, init_batch: Dict[str, np.ndarray],
@@ -94,11 +95,9 @@ class Trainer:
         args = tuple(
             jnp.asarray(init_batch[k][:1]) for k in self.batch_arg_names
         )
-        rngs = {
-            "params": rng,
-            "dropout": jax.random.fold_in(rng, 1),
-            "specaug": jax.random.fold_in(rng, 2),
-        }
+        rngs = {"params": rng}
+        for i, name in enumerate(self.rng_names):
+            rngs[name] = jax.random.fold_in(rng, i + 1)
         variables = nn.meta.unbox(
             jax.jit(self.model.init, static_argnames=("deterministic",))(
                 rngs, *args, deterministic=True
