@@ -63,9 +63,11 @@ class Speech2Text:
         sharded over its 'data' axis and the whole beam-search program runs
         SPMD across chips (GSPMD propagates the batch sharding through
         encoder, scorers and the while-loop; params stay replicated).
-        Batch sizes must divide the data axis (`parallel/api.py`
-        make_batch_put rules). Covers the reference's distributed decoding
-        role (SURVEY §2.7 distributed decode)."""
+        Indivisible batches are repeat-padded internally and results sliced
+        back to B — decode padding is semantically harmless, mirroring the
+        recipe-side nj utterance sharding (`egs/mini_an4/asr1/run.sh:
+        297-311`). Covers the reference's distributed decoding role
+        (SURVEY §2.7 distributed decode)."""
         self.model = model
         self.variables = {"params": params, **(extra_vars or {})}
         self.mesh = mesh
@@ -74,7 +76,7 @@ class Speech2Text:
             from espnet_tpu.parallel.api import make_batch_put
             from espnet_tpu.parallel.mesh import replicated
 
-            self._batch_put = make_batch_put(mesh)
+            self._batch_put = make_batch_put(mesh, allow_pad=True)
             self.variables = jax.device_put(
                 self.variables, replicated(mesh)
             )
@@ -189,6 +191,7 @@ class Speech2Text:
         keys: Optional[Sequence[str]] = None,
         nbest: int = 1,
     ) -> List[DecodeResult]:
+        b_true = len(speech_lengths)
         if self._batch_put is not None:
             put = self._batch_put({
                 "speech": np.asarray(speech),
@@ -199,6 +202,9 @@ class Speech2Text:
             jnp.asarray(speech), jnp.asarray(speech_lengths)
         )
         yseq, ylen, score = map(np.asarray, (yseq, ylen, score))
+        # slice internal repeat-padding back off (keys index only the
+        # true batch)
+        yseq, ylen, score = yseq[:b_true], ylen[:b_true], score[:b_true]
         results = []
         for bi in range(yseq.shape[0]):
             hyps = []
