@@ -48,6 +48,11 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from espnet_tpu.utils.jax_cache import enable_persistent_cache
+
+    cache_dir = enable_persistent_cache()
+    _log(f"compilation cache: {cache_dir}")
+
     from espnet_tpu.models.asr import ASRConfig, ASRModel
     from espnet_tpu.train.optim import build_optimizer
     from espnet_tpu.train.steps import TrainState, make_train_step

@@ -84,6 +84,10 @@ class ASRConfig:
     # rematerialize encoder blocks in bwd (jax.checkpoint): less activation
     # HBM -> larger batches / higher MFU at ~1/3 extra encoder fwd FLOPs
     remat_encoder: bool = False
+    # compile the encoder stack as one nn.scan over weight-stacked blocks:
+    # ~depth-fold faster XLA compiles at identical math (checkpoint layout
+    # changes to stacked leaves; incompatible with interctc_layer_idx)
+    scan_encoder_layers: bool = False
     conformer_kernel_size: int = 31
     # pretrained SSL / Whisper integration (ingested HF checkpoints via
     # train/hf_import; `espnet2/asr/encoder/wav2vec2_encoder.py:1`,
@@ -225,6 +229,7 @@ class ASRModel(nn.Module):
                 subsampling_factor=c.subsampling_factor,
                 capture_layers=tuple(c.interctc_layer_idx),
                 remat=c.remat_encoder,
+                scan_layers=c.scan_encoder_layers,
                 dtype=c.dtype,
             )
         elif c.encoder_type == "transformer":

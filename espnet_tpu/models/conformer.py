@@ -127,6 +127,12 @@ class ConformerEncoder(nn.Module):
     # (jax.checkpoint): trades ~30% more FLOPs in bwd for O(layers) less
     # activation HBM, unlocking larger batches at higher MFU
     remat: bool = False
+    # compile the layer stack as ONE nn.scan over weight-stacked blocks
+    # instead of `num_layers` unrolled copies: XLA compiles a single block
+    # body (compile time drops ~linearly in depth) at identical math.
+    # Param layout changes to stacked (L, ...) leaves under "layers/block",
+    # so checkpoints are not interchangeable with the unrolled layout.
+    scan_layers: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -140,8 +146,36 @@ class ConformerEncoder(nn.Module):
         pos_emb = rel_position_encoding(t, self.d_model, self.dtype)
         pad_mask = make_valid_mask(olens, t)
         bias = attention_bias(pad_mask[:, None, None, :])
-        block_cls = (nn.remat(ConformerBlock, static_argnums=(5,))
+        block_cls = (nn.remat(ConformerBlock, static_argnums=(5,),
+                              prevent_cse=not self.scan_layers)
                      if self.remat else ConformerBlock)
+        if self.scan_layers:
+            if self.capture_layers:
+                raise ValueError(
+                    "scan_layers is incompatible with capture_layers "
+                    "(InterCTC needs per-layer outputs); use the unrolled "
+                    "layout for InterCTC models"
+                )
+
+            def body(block, carry, _):
+                return block(
+                    carry, pos_emb, bias, pad_mask, deterministic
+                ), None
+
+            scan = nn.scan(
+                body,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=self.num_layers,
+                metadata_params={nn.PARTITION_NAME: "layers"},
+            )
+            block = block_cls(
+                self.d_model, self.num_heads, self.d_ff, self.kernel_size,
+                self.dropout_rate, self.conv_norm_type, self.dtype,
+                name="block",
+            )
+            x, _ = scan(block, x, None)
+            return x, olens
         intermediates = []
         for i in range(self.num_layers):
             x = block_cls(

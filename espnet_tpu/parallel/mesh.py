@@ -81,6 +81,10 @@ DEFAULT_RULES = (
     ("mlp", "model"),
     ("vocab", "model"),
     ("kv", None),
+    # stacked-layer axis introduced by nn.scan over encoder blocks
+    # (ConformerEncoder scan_layers=True): replicated — layers are a
+    # sequential pipeline, not a shardable dimension on a 2D dp/tp mesh
+    ("layers", None),
 )
 
 

@@ -125,6 +125,9 @@ class AbsTask:
             level=logging.INFO,
             format="%(asctime)s %(levelname)s %(message)s",
         )
+        from espnet_tpu.utils.jax_cache import enable_persistent_cache
+
+        enable_persistent_cache()
         cfg = cls.parse_config(argv if argv is not None else sys.argv[1:])
         return cls.run(cfg)
 
