@@ -140,7 +140,7 @@ class GLSTM(nn.Module):
         return h.reshape(b, t, c, f).transpose(0, 1, 3, 2)
 
 
-class DCCRNSeparator(nn.Module):
+class DC_CRNSeparator(nn.Module):
     """DC-CRN complex-masking separator (`dc_crn_separator.py:16`).
 
     Input: STFTEncoder features (B, T, 2F) = real||imag concat.

@@ -74,6 +74,12 @@ class EnhConfig:
     glstm_groups: int = 2
     glstm_layers: int = 2
     dc_crn_mode: str = "masking"
+    # dccrn (complex U-Net + complex LSTM; needs encoder_type="stft")
+    dccrn_rnn_layer: int = 2
+    dccrn_rnn_units: int = 256
+    dccrn_masking_mode: str = "E"    # E | C | R
+    dccrn_kernel_num: Any = (32, 64, 128, 256, 256, 256)
+    dccrn_use_noise_mask: bool = False
     # fasnet (separator_type="fasnet", multichannel time-domain)
     fasnet_enc_dim: int = 64
     fasnet_feature_dim: int = 64
@@ -201,18 +207,33 @@ class EnhancementModel(nn.Module):
                 c.dan_emb_dim, c.dtype, name="separator",
             )
         elif c.separator_type == "dc_crn":
-            from espnet_tpu.models.enh.dc_crn import DCCRNSeparator
+            from espnet_tpu.models.enh.dc_crn import DC_CRNSeparator
 
             if c.encoder_type != "stft":
                 raise ValueError("dc_crn needs encoder_type='stft' "
                                  "(complex masking over STFT features)")
-            self.separator = DCCRNSeparator(
+            self.separator = DC_CRNSeparator(
                 feat_dim, c.num_spk,
                 input_channels=tuple(c.dc_crn_channels),
                 enc_hid_channels=c.dc_crn_hid_channels,
                 enc_layers=c.dc_crn_block_layers,
                 glstm_groups=c.glstm_groups, glstm_layers=c.glstm_layers,
                 mode=c.dc_crn_mode, dtype=c.dtype, name="separator",
+            )
+        elif c.separator_type == "dccrn":
+            from espnet_tpu.models.enh.dccrn import DCCRNSeparator
+
+            if c.encoder_type != "stft":
+                raise ValueError("dccrn needs encoder_type='stft' "
+                                 "(complex masking over STFT features)")
+            self.separator = DCCRNSeparator(
+                feat_dim, c.num_spk,
+                rnn_layer=c.dccrn_rnn_layer,
+                rnn_units=c.dccrn_rnn_units,
+                masking_mode=c.dccrn_masking_mode,
+                kernel_num=tuple(c.dccrn_kernel_num),
+                use_noise_mask=c.dccrn_use_noise_mask,
+                dtype=c.dtype, name="separator",
             )
         else:
             raise ValueError(f"unknown separator_type {c.separator_type}")

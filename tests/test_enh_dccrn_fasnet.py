@@ -12,10 +12,10 @@ from espnet_tpu.models.enh.model import EnhancementModel, EnhConfig
 
 
 def test_dccrn_separator_shapes_and_complex_mask():
-    from espnet_tpu.models.enh.dc_crn import DCCRNSeparator
+    from espnet_tpu.models.enh.dc_crn import DC_CRNSeparator
 
     f = 17
-    sep = DCCRNSeparator(input_dim=2 * f, num_spk=2,
+    sep = DC_CRNSeparator(input_dim=2 * f, num_spk=2,
                          input_channels=(2, 4, 8), enc_layers=3)
     rng = jax.random.PRNGKey(0)
     feat = jax.random.normal(rng, (2, 12, 2 * f))
@@ -40,10 +40,10 @@ def test_dccrn_separator_shapes_and_complex_mask():
 
 
 def test_dccrn_mapping_and_predict_noise():
-    from espnet_tpu.models.enh.dc_crn import DCCRNSeparator
+    from espnet_tpu.models.enh.dc_crn import DC_CRNSeparator
 
     f = 9
-    sep = DCCRNSeparator(input_dim=2 * f, num_spk=2, predict_noise=True,
+    sep = DC_CRNSeparator(input_dim=2 * f, num_spk=2, predict_noise=True,
                          input_channels=(2, 4), enc_layers=2,
                          mode="mapping")
     rng = jax.random.PRNGKey(1)
