@@ -89,6 +89,13 @@ class EnhConfig:
     fasnet_win_ms: int = 4
     fasnet_context_ms: int = 16
     fasnet_sr: int = 16000
+    # svoice (waveform-domain gated dual-path, own encoder/decoder)
+    svoice_enc_dim: int = 128
+    svoice_kernel: int = 8
+    svoice_hidden: int = 128
+    svoice_layers: int = 4
+    svoice_segment: int = 20
+    svoice_normalize: bool = False
     # neural beamformer (separator_type="beamformer", multichannel input)
     use_wpe: bool = False
     wpe_taps: int = 5
@@ -125,6 +132,21 @@ class EnhancementModel(nn.Module):
                 c.n_fft, c.hop_length, c.use_wpe, c.wpe_taps, c.wpe_delay,
                 c.bf_hidden, c.bf_layers, c.ref_channel, c.dtype,
                 name="separator",
+            )
+            self.encoder = None
+            self.decoder = None
+            return
+        if c.separator_type == "svoice":
+            # Waveform-domain gated dual-path (own conv encoder/decoder,
+            # `espnet2/enh/separator/svoice_separator.py:95`).
+            from espnet_tpu.models.enh.svoice import SVoiceSeparator
+
+            self.separator = SVoiceSeparator(
+                enc_dim=c.svoice_enc_dim, kernel_size=c.svoice_kernel,
+                hidden_size=c.svoice_hidden, num_spk=c.num_spk,
+                num_layers=c.svoice_layers, segment_size=c.svoice_segment,
+                bidirectional=True, input_normalize=c.svoice_normalize,
+                dtype=c.dtype, name="separator",
             )
             self.encoder = None
             self.decoder = None
@@ -242,7 +264,7 @@ class EnhancementModel(nn.Module):
                         deterministic: bool = True):
         """Mixture -> per-speaker waveforms (B, n_spk, n)
         (`espnet_model.py:178`)."""
-        if self.config.separator_type in ("beamformer", "fasnet"):
+        if self.config.separator_type in ("beamformer", "fasnet", "svoice"):
             wavs, _, others = self.separator(
                 speech_mix, speech_lengths, deterministic
             )

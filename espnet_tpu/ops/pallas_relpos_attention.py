@@ -245,6 +245,101 @@ def _dqdp_kernel(qu_ref, qv_ref, k_ref, v_ref, p_ref, kb_ref, do_ref,
         dp_ref[0, 0] += contrib
 
 
+def _fused1_bwd_kernel(qu_ref, qv_ref, k_ref, v_ref, p_ref, kb_ref, do_ref,
+                       lse_ref, dl_ref, dqu_ref, dqv_ref, dk_ref, dv_ref,
+                       dp_ref, *, blk: int, scale: float, interpret: bool):
+    """Single-pass backward for the m == 1 case (whole sequence in one
+    tile, the common bucket once T <= BLK): the score/weight tile is
+    computed ONCE and every gradient (dqu, dqv, dk, dv, dp) falls out of
+    it — versus the general 3-output/2-kernel path which recomputes the
+    tile twice. Grid (H, B): for one head the batch steps run
+    consecutively so the dp output block accumulates across the batch."""
+    bb = pl.program_id(1)
+    qu = qu_ref[0]
+    qv = qv_ref[0]
+    ks = k_ref[0]
+    vs = v_ref[0]
+    pw = p_ref[0]
+    kb = kb_ref[0, 0]
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0, 0]
+    delta = dl_ref[0, 0]
+    s = _scores(qu, qv, ks, pw, kb, scale, blk, interpret)
+    w = jnp.exp(s - lse[:, None])
+    dp_s = jax.lax.dot_general(
+        do, vs.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = w * (dp_s - delta[:, None]) * scale
+    dqu_ref[0] = jax.lax.dot_general(
+        ds.astype(ks.dtype), ks, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds2 = _unskew(ds, blk, interpret)
+    dqv_ref[0] = jax.lax.dot_general(
+        ds2.astype(pw.dtype), pw, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dv_ref[0] = jax.lax.dot_general(
+        w.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dk_ref[0] = jax.lax.dot_general(
+        ds.astype(qu.dtype), qu, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    contrib = jax.lax.dot_general(
+        ds2.astype(qv.dtype), qv, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (2*BLK, D)
+
+    @pl.when(bb == 0)
+    def _():
+        dp_ref[0] = contrib
+
+    @pl.when(bb != 0)
+    def _():
+        dp_ref[0] += contrib
+
+
+def _flash_bwd_fused1(qu, qv, k, v, p2, kbias3, do, lse, delta, blk,
+                      interpret):
+    """m == 1 backward: one pallas_call, grid (H, B)."""
+    bh, t, d = qu.shape
+    h = p2.shape[0]
+    b = kbias3.shape[0]
+    scale = 1.0 / (d ** 0.5)
+    per_bh = [
+        pl.BlockSpec((1, t, d), lambda hh, bb, H=h: (bb * H + hh, 0, 0)),
+    ] * 4 + [
+        pl.BlockSpec((1, 2 * t, d), lambda hh, bb: (hh, 0, 0)),
+        pl.BlockSpec((1, 1, t), lambda hh, bb: (bb, 0, 0)),
+        pl.BlockSpec((1, t, d), lambda hh, bb, H=h: (bb * H + hh, 0, 0)),
+        pl.BlockSpec((1, 1, t), lambda hh, bb, H=h: (bb * H + hh, 0, 0)),
+        pl.BlockSpec((1, 1, t), lambda hh, bb, H=h: (bb * H + hh, 0, 0)),
+    ]
+    out_bh = pl.BlockSpec((1, t, d), lambda hh, bb, H=h: (bb * H + hh, 0, 0))
+    dqu, dqv, dk, dv, dp2 = pl.pallas_call(
+        functools.partial(_fused1_bwd_kernel, blk=blk, scale=scale,
+                          interpret=interpret),
+        grid=(h, b),
+        in_specs=per_bh,
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, t, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, t, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, t, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, t, d), jnp.float32),
+            jax.ShapeDtypeStruct((h, 2 * t, d), jnp.float32),
+        ),
+        out_specs=(
+            out_bh, out_bh, out_bh, out_bh,
+            pl.BlockSpec((1, 2 * t, d), lambda hh, bb: (hh, 0, 0)),
+        ),
+        interpret=interpret,
+    )(qu, qv, k, v, p2, kbias3, do, lse, delta)
+    return dqu, dqv, dk, dv, dp2
+
+
 def _dkv_kernel(qu_ref, qv_ref, k_ref, v_ref, p_ref, kb_ref, do_ref, lse_ref,
                 dl_ref, dk_ref, dv_ref,
                 *, blk: int, m: int, scale: float, interpret: bool):
@@ -340,6 +435,15 @@ def _flash_bwd(blk, interpret, res, g):
         do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
     ).reshape(bh, 1, t)
     kbias3 = kbias.reshape(b, 1, t)
+
+    if m == 1:
+        dqu, dqv, dk, dv, dp2 = _flash_bwd_fused1(
+            qu, qv, k, v, p2, kbias3, do, lse, delta, blk, interpret
+        )
+        dkbias = jnp.zeros_like(kbias)
+        return (dqu.astype(qu.dtype), dqv.astype(qv.dtype),
+                dk.astype(k.dtype), dv.astype(v.dtype),
+                dp2.astype(p2.dtype), dkbias)
 
     common_specs = [
         pl.BlockSpec((1, t, d), lambda i, j: (i, 0, 0)),  # qu full

@@ -45,7 +45,10 @@ def test_forward_parity(t):
         )
 
 
-def test_grad_parity():
+# block=32 -> m=3 exercises the 2-kernel general backward; block=96 -> m=1
+# exercises the fused single-pass backward
+@pytest.mark.parametrize("block", [32, 96])
+def test_grad_parity(block):
     (q, k, v, p, u, vb, bias), lens = _inputs(t=96)
     tmask = jnp.asarray(
         (np.arange(96)[None, :] < lens[:, None]).astype(np.float32)
@@ -63,7 +66,8 @@ def test_grad_parity():
     )(*args)
     g_out = jax.grad(
         lambda *a: loss(
-            lambda *aa: relpos_flash_attention(*aa, block=32, interpret=True),
+            lambda *aa: relpos_flash_attention(
+                *aa, block=block, interpret=True),
             *a,
         ),
         argnums=(0, 1, 2, 3, 4, 5),
