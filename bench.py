@@ -17,6 +17,7 @@ the ratio is at least stable across rounds.
 
 from __future__ import annotations
 
+import argparse
 import json
 import sys
 import time
@@ -45,6 +46,15 @@ def _init_args(cfg):
 
 
 def main() -> None:
+    ap = argparse.ArgumentParser()
+    # defaults are the best config found in the round-3 batch/remat sweep
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--secs", type=float, default=15.0)
+    ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--scan_layers", action="store_true")
+    ap.add_argument("--steps", type=int, default=20)
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -72,13 +82,15 @@ def main() -> None:
         decoder_d_ff=2048,
         ctc_weight=0.3,
         dtype=jnp.bfloat16,
+        remat_encoder=args.remat,
+        scan_encoder_layers=args.scan_layers,
     )
     model = ASRModel(cfg)
     tx = build_optimizer("adam", lr=2e-3, schedule="warmuplr",
                          warmup_steps=25000, d_model=cfg.d_model)
     train_step = make_train_step(model, tx)
 
-    b, secs, u = 32, 15.0, 40
+    b, secs, u = args.batch, args.secs, 40
     samples = int(secs * FS)
     rng = np.random.RandomState(0)
     batch = {
@@ -142,7 +154,7 @@ def main() -> None:
         return time.perf_counter() - t0
 
     timed_window(3)  # settle clocks / caches
-    n_steps = 20
+    n_steps = args.steps
     dt = timed_window(n_steps)
     step_time = dt / n_steps
 
@@ -163,7 +175,9 @@ def main() -> None:
         "model_flops": model_flops,
         "mfu": round(mfu, 4) if mfu else None,
         "peak_flops": peak,
-        "config": "conformer12x256-dec6 bf16 b32x15s",
+        "config": (f"conformer12x256-dec6 bf16 b{b}x{secs:g}s"
+                   + ("+remat" if args.remat else "")
+                   + ("+scan" if args.scan_layers else "")),
         "device": str(jax.devices()[0]),
         "loss": float(jax.device_get(stats["loss"])),
     }))

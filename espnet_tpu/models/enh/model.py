@@ -60,6 +60,9 @@ class EnhConfig:
     rnn_layers: int = 3
     rnn_hidden: int = 256
     dan_emb_dim: int = 20
+    # dpcl_e2e soft-kmeans (fixed-iteration scan, see dpcl_e2e.py)
+    dpcl_alpha: float = 5.0
+    dpcl_kmeans_iters: int = 10
     trans_d_model: int = 256
     trans_heads: int = 4
     trans_d_ff: int = 1024
@@ -241,6 +244,18 @@ class EnhancementModel(nn.Module):
                 enc_layers=c.dc_crn_block_layers,
                 glstm_groups=c.glstm_groups, glstm_layers=c.glstm_layers,
                 mode=c.dc_crn_mode, dtype=c.dtype, name="separator",
+            )
+        elif c.separator_type == "dpcl_e2e":
+            from espnet_tpu.models.enh.dpcl_e2e import DPCLE2ESeparator
+
+            self.separator = DPCLE2ESeparator(
+                feat_dim, c.num_spk,
+                nonlinear=c.nonlinear,
+                layers=c.rnn_layers, unit=c.rnn_hidden,
+                emb_dim=c.dan_emb_dim, alpha=c.dpcl_alpha,
+                kmeans_iters=c.dpcl_kmeans_iters,
+                complex_pairs=c.encoder_type == "stft",
+                dtype=c.dtype, name="separator",
             )
         elif c.separator_type == "dccrn":
             from espnet_tpu.models.enh.dccrn import DCCRNSeparator
