@@ -48,6 +48,7 @@ class EnhConfig:
     # separator
     separator_type: str = "tcn"  # tcn | dprnn | transformer | dptnet |
                                  # skim | conformer | rnn | dan | dc_crn |
+                                 # dccrn | dpcl_e2e | svoice | ineube |
                                  # fasnet | beamformer
     tcn_layers: int = 8
     tcn_stacks: int = 3
@@ -99,6 +100,16 @@ class EnhConfig:
     svoice_layers: int = 4
     svoice_segment: int = 20
     svoice_normalize: bool = False
+    # ineube (iterative neural/beamforming, waveform-domain multichannel)
+    ineube_mics: int = 1
+    ineube_hid_chans: int = 32
+    ineube_hid_chans_dense: int = 32
+    ineube_tcn_repeats: int = 4
+    ineube_tcn_blocks: int = 7
+    ineube_tcn_channels: int = 384
+    ineube_output_from: str = "dnn1"  # dnn1 | mfmcwf | dnn2
+    ineube_n_chunks: int = 3
+    ineube_freeze_dnn1: bool = False
     # neural beamformer (separator_type="beamformer", multichannel input)
     use_wpe: bool = False
     wpe_taps: int = 5
@@ -149,6 +160,26 @@ class EnhancementModel(nn.Module):
                 hidden_size=c.svoice_hidden, num_spk=c.num_spk,
                 num_layers=c.svoice_layers, segment_size=c.svoice_segment,
                 bidirectional=True, input_normalize=c.svoice_normalize,
+                dtype=c.dtype, name="separator",
+            )
+            self.encoder = None
+            self.decoder = None
+            return
+        if c.separator_type == "ineube":
+            # Iterative neural/beamforming enhancement, waveform-domain
+            # multichannel (`espnet2/enh/separator/ineube_separator.py:16`).
+            from espnet_tpu.models.enh.ineube import iNeuBeSeparator
+
+            self.separator = iNeuBeSeparator(
+                n_spk=c.num_spk, n_fft=c.n_fft, stride=c.hop_length,
+                mic_channels=c.ineube_mics, hid_chans=c.ineube_hid_chans,
+                hid_chans_dense=c.ineube_hid_chans_dense,
+                tcn_repeats=c.ineube_tcn_repeats,
+                tcn_blocks=c.ineube_tcn_blocks,
+                tcn_channels=c.ineube_tcn_channels,
+                output_from=c.ineube_output_from,
+                n_chunks=c.ineube_n_chunks,
+                freeze_dnn1=c.ineube_freeze_dnn1,
                 dtype=c.dtype, name="separator",
             )
             self.encoder = None
@@ -279,7 +310,8 @@ class EnhancementModel(nn.Module):
                         deterministic: bool = True):
         """Mixture -> per-speaker waveforms (B, n_spk, n)
         (`espnet_model.py:178`)."""
-        if self.config.separator_type in ("beamformer", "fasnet", "svoice"):
+        if self.config.separator_type in ("beamformer", "fasnet", "svoice",
+                                          "ineube"):
             wavs, _, others = self.separator(
                 speech_mix, speech_lengths, deterministic
             )
