@@ -158,6 +158,37 @@ def main() -> None:
     dt = timed_window(n_steps)
     step_time = dt / n_steps
 
+    # ---- decode RTF (BASELINE.md measurement point; reference tooling
+    # utils/calculate_rtf.py:16-107 = total decode wall / total audio) ----
+    # Joint CTC/attention batched beam search, beam 10, on 15 s utterances.
+    # The label budget is capped at 150 steps (~10 tokens/s of speech —
+    # generous for any real transcript); with untrained random weights the
+    # search would otherwise never emit <eos> and run to the encoder-length
+    # worst case, which no trained model hits.
+    decode_rtf = None
+    dec_b, dec_steps, dec_reps = 8, 150, 3
+    try:
+        from espnet_tpu.decode.asr_inference import Speech2Text
+
+        s2t = Speech2Text(
+            model, state.params,
+            extra_vars=state.extra_vars,
+            beam_size=10, ctc_weight=0.3, max_steps=dec_steps,
+        )
+        dec_speech = np.asarray(batch["speech"][:dec_b])
+        dec_lens = np.asarray(batch["speech_lengths"][:dec_b])
+        t0 = time.perf_counter()
+        s2t(dec_speech, dec_lens)  # compile + warmup (results host-fetched)
+        _log(f"decode compiled+run in {time.perf_counter() - t0:.1f}s")
+        t0 = time.perf_counter()
+        for _ in range(dec_reps):
+            s2t(dec_speech, dec_lens)
+        dec_dt = time.perf_counter() - t0
+        decode_rtf = dec_dt / (dec_reps * float(dec_lens.sum()) / FS)
+        _log(f"decode RTF {decode_rtf:.4f}")
+    except Exception as e:  # pragma: no cover - keep the train metric alive
+        _log(f"decode bench failed: {e}")
+
     # bf16 peak: TPU v5e ("v5 lite") = 197 TFLOP/s; v4 = 275; v5p = 459.
     kind = jax.devices()[0].device_kind.lower()
     peak = 197e12 if "v5 lite" in kind or "v5e" in kind else (
@@ -178,6 +209,8 @@ def main() -> None:
         "config": (f"conformer12x256-dec6 bf16 b{b}x{secs:g}s"
                    + ("+remat" if args.remat else "")
                    + ("+scan" if args.scan_layers else "")),
+        "decode_rtf": round(decode_rtf, 5) if decode_rtf else None,
+        "decode_config": f"beam10 ctc0.3 b{dec_b} cap{dec_steps}steps",
         "device": str(jax.devices()[0]),
         "loss": float(jax.device_get(stats["loss"])),
     }))

@@ -21,3 +21,9 @@ os.environ.setdefault("JAX_TRACEBACK_FILTERING", "off")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the suite is dominated by XLA compiles
+# (77 min cold); cached reruns skip them. ESPNET_TPU_CACHE_DIR="" disables.
+from espnet_tpu.utils.jax_cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
