@@ -67,11 +67,18 @@ class Speech2TextTransducer:
                 self.max_expansions, self.max_tokens, self.score_norm,
                 method=TransducerASRModel.tsd_search,
             )
-        # "maes" and "nsc": the fixed-shape expansion program IS the N-step
-        # constrained search with a constant expansion width — the reference
-        # distinguishes nsc/mAES only by adaptive gamma-pruning of the
-        # per-step candidate set (`beam_search_transducer.py:547,719`),
-        # which a static TPU program replaces with the top-W cut.
+        if self.search == "nsc":
+            # real N-step constrained search: per-frame prefix merge +
+            # subtract-dedup'd constrained expansions, numpy-oracle-parity
+            # tested (`beam_search_transducer.py:547` nsc_beam_search)
+            return model.apply(
+                self.variables, enc, elen, self.beam_size,
+                self.max_expansions, self.max_tokens, self.score_norm,
+                method=TransducerASRModel.nsc_search,
+            )
+        # "maes": the fixed-shape expansion program with a constant
+        # expansion width (the reference's adaptive gamma-pruning of the
+        # per-step candidate set is replaced by the static top-W cut).
         return model.apply(
             self.variables, enc, elen, self.beam_size, self.max_expansions,
             self.max_tokens, self.score_norm,

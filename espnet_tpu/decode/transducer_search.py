@@ -565,3 +565,302 @@ def batched_transducer_tsd(
     best = jnp.argmax(score, axis=1)
     bi = jnp.arange(b)
     return final.yseq[bi, best], final.ylen[bi, best], score[bi, best]
+
+
+# ---------------------------------------------------------------------------
+# NSC: N-step constrained beam search (Kim et al., 2020) with prefix search
+
+
+def _prefix_merge(yseq, ylen, score, lp, blank_id):
+    """Rassmussen/Graves prefix search for NSC/mAES
+    (`espnet/nets/beam_search_transducer.py:174` prefix_search, alpha = 1):
+    when hyp_i's label sequence is a one-label prefix of hyp_j's, fold
+    P(hyp_j via hyp_i at this frame) = score_i + lp_i[last_label_j] into
+    score_j with logaddexp.
+
+    yseq (B, W, L), ylen (B, W), score (B, W), lp (B, W, V) log-softmax of
+    joint(enc_t, dec_out) for each hypothesis. Returns merged scores.
+    """
+    b, w, lmax = yseq.shape
+    alive = score > NEG_INF / 2
+    # pair (i prefix-of j): ylen_j == ylen_i + 1 and labels agree on [0, ylen_i)
+    len_ok = ylen[:, None, :] == ylen[:, :, None] + 1          # (B, i, j)
+    pos = jnp.arange(lmax)[None, None, None, :]
+    agree = jnp.all(
+        (yseq[:, :, None, :] == yseq[:, None, :, :])
+        | (pos >= ylen[:, :, None, None]),
+        axis=-1,
+    )  # (B, i, j): yseq_j[: ylen_i] == yseq_i[: ylen_i]
+    pref = len_ok & agree & alive[:, :, None] & alive[:, None, :]
+    # last label of hyp_j under hyp_i's posterior
+    last = jnp.take_along_axis(
+        yseq, jnp.maximum(ylen - 1, 0)[..., None], axis=-1
+    )[..., 0]                                                  # (B, W)
+    lp_last = jnp.take_along_axis(
+        lp[:, :, None, :].repeat(w, axis=2),
+        last[:, None, :, None].repeat(w, axis=1), axis=-1,
+    )[..., 0]                                                  # (B, i, j)
+    contrib = jnp.where(pref, score[:, :, None] + lp_last, NEG_INF)
+    folded = jax.scipy.special.logsumexp(contrib, axis=1)      # (B, W) per j
+    return jnp.where(
+        folded > NEG_INF / 2, jnp.logaddexp(score, folded), score
+    )
+
+
+def batched_transducer_nsc(
+    enc: jnp.ndarray,            # (B, T, De)
+    enc_lengths: jnp.ndarray,    # (B,)
+    *,
+    joint_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    dec_init: Callable[[int], Tuple[jnp.ndarray, Any]],
+    dec_step: Callable[[Any, jnp.ndarray], Tuple[jnp.ndarray, Any]],
+    config: TransducerSearchConfig = TransducerSearchConfig(),
+    prefix_alpha: int = 1,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """N-step constrained beam search with prefix merging.
+
+    Behavioral spec: reference `nsc_beam_search`
+    (`espnet/nets/beam_search_transducer.py:547`, Kim et al. 2020
+    arXiv:2002.03577): per frame, first `prefix_search` folds one-label
+    prefix hypotheses together (logaddexp), then `nstep`
+    (= config.max_expansions) constrained expansion rounds run — each round
+    collects blank-extensions into the kept pool S, expands the global
+    top-W label candidates after REMOVING candidates whose sequence already
+    exists in the round's hypothesis set (`subtract`, the dedup that
+    distinguishes NSC from the mAES expansion program), and the final
+    round's survivors V get the frame's closing blank mass when nstep > 1.
+    kept = top-W of S ∪ V.
+
+    Only `prefix_alpha == 1` (the reference default) is supported: deeper
+    merges need the per-label decoder-output history of every hypothesis,
+    which a fixed-slab program would have to carry as a (W, L, H) tensor
+    for a merge the reference itself caps at alpha=1 in every recipe.
+
+    Same callback contract as `batched_transducer_beam_search`.
+    Returns (tokens (B, max_tokens), lengths (B,), scores (B,)).
+    """
+    if prefix_alpha != 1:
+        raise ValueError("batched NSC supports prefix_alpha=1 only")
+    c = config
+    b, t_max, _ = enc.shape
+    w = c.beam_size
+    lmax = c.max_tokens
+    nstep = c.max_expansions
+    p = w * (nstep + 1)
+
+    dec_out0, dec_state0 = dec_init(b * w)
+    h = dec_out0.shape[-1]
+    beam0 = _Beam(
+        yseq=jnp.zeros((b, w, lmax), jnp.int32),
+        ylen=jnp.zeros((b, w), jnp.int32),
+        score=jnp.tile(
+            jnp.where(jnp.arange(w) == 0, 0.0, NEG_INF)[None, :], (b, 1)
+        ).astype(jnp.float32),
+        dec_out=dec_out0.reshape(b, w, h),
+        dec_state=jax.tree_util.tree_map(
+            lambda x: x.reshape(b, w, *x.shape[1:]), dec_state0
+        ),
+    )
+
+    def dedup_mask(cur, v):
+        """(B, W, V) True where candidate (parent p, label k) duplicates an
+        existing hypothesis q (yseq_q == yseq_p + [k]) — the `subtract`
+        set-difference (`transducer/utils.py:114`)."""
+        b_, w_, lmax_ = cur.yseq.shape
+        alive = cur.score > NEG_INF / 2
+        len_ok = cur.ylen[:, None, :] == cur.ylen[:, :, None] + 1  # (B,p,q)
+        pos = jnp.arange(lmax_)[None, None, None, :]
+        agree = jnp.all(
+            (cur.yseq[:, :, None, :] == cur.yseq[:, None, :, :])
+            | (pos >= cur.ylen[:, :, None, None]),
+            axis=-1,
+        )
+        pair = len_ok & agree & alive[:, :, None] & alive[:, None, :]
+        last = jnp.take_along_axis(
+            cur.yseq, jnp.maximum(cur.ylen - 1, 0)[..., None], axis=-1
+        )[..., 0]                                               # (B, q)
+        # mask[p, last_q] = True for every pair (p, q)
+        onehot = jax.nn.one_hot(last, v, dtype=jnp.bool_)       # (B, q, V)
+        return jnp.einsum("bpq,bqv->bpv", pair, onehot) > 0
+
+    def frame_step(beam: _Beam, inputs):
+        enc_t, t = inputs
+        active_t = t < enc_lengths
+
+        flat_enc = jnp.repeat(enc_t, w, axis=0)
+
+        def joint_lp(dec_out):
+            logits = joint_fn(flat_enc, dec_out.reshape(b * w, h))
+            return jax.nn.log_softmax(
+                logits.astype(jnp.float32), axis=-1
+            ).reshape(b, w, -1)
+
+        lp = joint_lp(beam.dec_out)
+        v = lp.shape[-1]
+        merged_score = _prefix_merge(
+            beam.yseq, beam.ylen, beam.score, lp, c.blank_id
+        )
+        cur = beam._replace(score=merged_score)
+
+        pool_score = jnp.full((b, p), NEG_INF)
+        stages = []
+        for e in range(nstep):
+            if e > 0:
+                lp = joint_lp(cur.dec_out)
+            stages.append(cur)
+            # S: blank extensions of this round's hypotheses
+            blank_sc = cur.score + lp[..., c.blank_id]
+            pool_score = jax.lax.dynamic_update_slice(
+                pool_score, blank_sc, (0, e * w)
+            )
+            # V: constrained label expansion with subtract-dedup
+            lab_lp = lp.at[..., c.blank_id].set(NEG_INF)
+            cand = cur.score[..., None] + lab_lp
+            cand = jnp.where(dedup_mask(cur, v), NEG_INF, cand)
+            cand = jnp.where((cur.ylen >= lmax)[..., None], NEG_INF, cand)
+            top_sc, top_ix = jax.lax.top_k(cand.reshape(b, w * v), w)
+            src = (top_ix // v).astype(jnp.int32)
+            tok = (top_ix % v).astype(jnp.int32)
+            yseq = _select(cur.yseq, src)
+            ylen = _select(cur.ylen, src)
+            live = top_sc > NEG_INF / 2
+            yseq = jnp.where(
+                (jnp.arange(lmax)[None, None, :] == ylen[..., None])
+                & live[..., None],
+                tok[..., None], yseq,
+            )
+            ylen = ylen + live.astype(jnp.int32)
+            sel_state = jax.tree_util.tree_map(
+                lambda x: _select(x, src), cur.dec_state
+            )
+            new_out, new_state = dec_step(
+                jax.tree_util.tree_map(
+                    lambda x: x.reshape(b * w, *x.shape[2:]), sel_state
+                ),
+                tok.reshape(b * w),
+            )
+            cur = _Beam(
+                yseq, ylen, top_sc, new_out.reshape(b, w, h),
+                jax.tree_util.tree_map(
+                    lambda x: x.reshape(b, w, *x.shape[1:]), new_state
+                ),
+            )
+        # final V: closes the frame with the post-expansion blank when the
+        # constraint allows several expansions (`nsc_beam_search:695-703`)
+        if nstep != 1:
+            lp_f = joint_lp(cur.dec_out)
+            cur = cur._replace(score=cur.score + lp_f[..., c.blank_id])
+        stages.append(cur)
+        pool_score = jax.lax.dynamic_update_slice(
+            pool_score, cur.score, (0, nstep * w)
+        )
+
+        stack = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, 0), *stages)
+        nxt_sc, nxt_ix = jax.lax.top_k(pool_score, w)
+        exp_idx = nxt_ix // w
+        src_idx = (nxt_ix % w).astype(jnp.int32)
+
+        def gather(x):
+            return jax.vmap(
+                lambda xe, ee, ss: xe[ee, ss], in_axes=(1, 0, 0)
+            )(x, exp_idx, src_idx)
+
+        new_beam = _Beam(
+            yseq=gather(stack.yseq),
+            ylen=gather(stack.ylen),
+            score=nxt_sc,
+            dec_out=gather(stack.dec_out),
+            dec_state=jax.tree_util.tree_map(gather, stack.dec_state),
+        )
+        keep = active_t[:, None]
+        out = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(
+                keep.reshape((b, 1) + (1,) * (new.ndim - 2)), new, old
+            ),
+            new_beam, beam,
+        )
+        return out, None
+
+    final, _ = jax.lax.scan(
+        frame_step, beam0, (enc.transpose(1, 0, 2), jnp.arange(t_max)),
+    )
+    score = final.score
+    if c.score_norm:
+        score = score / jnp.maximum(final.ylen, 1)
+    best = jnp.argmax(score, axis=1)
+    bi = jnp.arange(b)
+    return final.yseq[bi, best], final.ylen[bi, best], score[bi, best]
+
+
+def transducer_nsc_numpy(
+    enc: np.ndarray,             # (T, De) single utterance
+    *,
+    joint_fn,
+    dec_init,
+    dec_step,
+    beam_size: int = 5,
+    nstep: int = 2,
+    score_norm: bool = True,
+):
+    """Per-utterance NSC oracle mirroring `nsc_beam_search` (dynamic lists,
+    prefix_alpha=1) for equivalence tests."""
+
+    def logsoft(x):
+        x = x - x.max()
+        e = np.exp(x)
+        return np.log(e / e.sum())
+
+    dec_out0, state0 = dec_init()
+    hyps = [([], 0.0, dec_out0, state0)]  # (yseq, score, dec_out, state)
+
+    for t in range(enc.shape[0]):
+        e_t = enc[t]
+        # prefix search (alpha=1) on hyps sorted longest-first
+        hyps.sort(key=lambda x: len(x[0]), reverse=True)
+        lps = [logsoft(joint_fn(e_t, h[2])) for h in hyps]
+        new_scores = [h[1] for h in hyps]
+        for j, hj in enumerate(hyps[:-1]):
+            for i in range(j + 1, len(hyps)):
+                hi = hyps[i]
+                if (len(hj[0]) == len(hi[0]) + 1
+                        and hj[0][: len(hi[0])] == hi[0]):
+                    contrib = hyps[i][1] + lps[i][hj[0][-1]]
+                    new_scores[j] = np.logaddexp(new_scores[j], contrib)
+        hyps = [(h[0], s, h[2], h[3]) for h, s in zip(hyps, new_scores)]
+
+        s_pool = []
+        cur = hyps
+        for n in range(nstep):
+            lps = [logsoft(joint_fn(e_t, h[2])) for h in cur]
+            # S: blank extensions
+            for h, lp in zip(cur, lps):
+                s_pool.append((h[0], h[1] + lp[0], h[2], h[3]))
+            # V: top labels, subtract, cut to beam
+            vcand = []
+            for h, lp in zip(cur, lps):
+                order = np.argsort(lp[1:])[::-1][:beam_size] + 1
+                for k in order:
+                    vcand.append((h[0] + [int(k)], h[1] + lp[k], h[2], h[3]))
+            vcand.sort(key=lambda x: x[1], reverse=True)
+            existing = [h[0] for h in cur]
+            vcand = [vc for vc in vcand if vc[0] not in existing][:beam_size]
+            nxt = []
+            for yseq, sc, _, st in vcand:
+                out, new_st = dec_step(st, yseq[-1])
+                nxt.append((yseq, sc, out, new_st))
+            cur = nxt
+        if nstep != 1:
+            cur = [
+                (h[0], h[1] + logsoft(joint_fn(e_t, h[2]))[0], h[2], h[3])
+                for h in cur
+            ]
+        pool = s_pool + cur
+        pool.sort(key=lambda x: x[1], reverse=True)
+        hyps = pool[:beam_size]
+
+    if score_norm:
+        hyps.sort(key=lambda x: x[1] / max(len(x[0]), 1), reverse=True)
+    else:
+        hyps.sort(key=lambda x: x[1], reverse=True)
+    best = hyps[0]
+    return best[0], best[1] / max(len(best[0]), 1) if score_norm else best[1]

@@ -361,6 +361,36 @@ class TransducerASRModel(nn.Module):
             ),
         )
 
+    def nsc_search(self, enc, enc_lengths, beam_size: int = 5,
+                   nstep: int = 2, max_tokens: int = 256,
+                   score_norm: bool = True):
+        """Batched NSC search with prefix merging
+        (`espnet/nets/beam_search_transducer.py:547` nsc_beam_search;
+        see decode/transducer_search.py batched_transducer_nsc)."""
+        from espnet_tpu.decode.transducer_search import (
+            TransducerSearchConfig, batched_transducer_nsc,
+        )
+
+        c = self.config
+
+        def dec_init(n):
+            st = self.decoder.init_state(n)
+            return self.decoder.step(
+                st, jnp.full((n,), c.blank_id, jnp.int32)
+            )
+
+        return batched_transducer_nsc(
+            enc, enc_lengths,
+            joint_fn=lambda e, d: self.joint(e, d),
+            dec_init=dec_init,
+            dec_step=lambda st, tok: self.decoder.step(st, tok),
+            config=TransducerSearchConfig(
+                beam_size=beam_size, max_expansions=nstep,
+                blank_id=c.blank_id, max_tokens=max_tokens,
+                score_norm=score_norm,
+            ),
+        )
+
     def alsd_search(self, enc, enc_lengths, beam_size: int = 5,
                     max_tokens: int = 256, u_max: int = 50,
                     score_norm: bool = True):
