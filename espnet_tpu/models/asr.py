@@ -108,6 +108,13 @@ class ASRConfig:
     # scheduled sampling `--sampling-probability`, decoders.py:246)
     rnn_att_type: str = "location"
     sampling_probability: float = 0.0
+    # plugin components (`espnet2/train/class_choices.py:1` equivalent):
+    # an encoder_type/decoder_type not in the builtin lists is resolved
+    # against utils.registry ("encoder"/"decoder"); the *_conf dict is the
+    # plugin module's full constructor kwargs (it must produce c.d_model-
+    # sized encoder outputs / standard decoder signature)
+    encoder_conf: Any = None
+    decoder_conf: Any = None
     # loss
     ctc_weight: float = 0.3
     # InterCTC (`espnet2/asr/espnet_model.py:244-286`): auxiliary CTC on
@@ -303,7 +310,13 @@ class ASRModel(nn.Module):
                 dtype=c.dtype,
             )
         else:
-            raise ValueError(f"unknown encoder_type {c.encoder_type}")
+            from espnet_tpu.utils.registry import resolve
+
+            cls = resolve(
+                "encoder", c.encoder_type,
+                f"unknown encoder_type {c.encoder_type}",
+            )
+            self.encoder = cls(**dict(c.encoder_conf or {}))
         if c.ctc_weight < 1.0:
             if c.decoder_type == "s4":
                 from espnet_tpu.models.s4_decoder import S4Decoder
@@ -339,7 +352,7 @@ class ASRModel(nn.Module):
                     dropout_rate=c.dropout_rate,
                     dtype=c.dtype,
                 )
-            else:
+            elif c.decoder_type == "transformer":
                 self.decoder = TransformerDecoder(
                     vocab_size=c.vocab_size,
                     d_model=c.d_model,
@@ -349,6 +362,14 @@ class ASRModel(nn.Module):
                     dropout_rate=c.dropout_rate,
                     dtype=c.dtype,
                 )
+            else:
+                from espnet_tpu.utils.registry import resolve
+
+                cls = resolve(
+                    "decoder", c.decoder_type,
+                    f"unknown decoder_type {c.decoder_type}",
+                )
+                self.decoder = cls(**dict(c.decoder_conf or {}))
         if c.ctc_weight > 0.0:
             self.ctc_head = nn.Dense(
                 c.vocab_size,

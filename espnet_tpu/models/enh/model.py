@@ -126,6 +126,10 @@ class EnhConfig:
     #   mask_mse_ibm|irm|iam|psm|npsm         PIT over predicted vs ideal masks
     #   dpcl                                  deep-clustering affinity (DAN emb)
     #   mixit                                 mixture-invariant assignment
+    # plugin separators (utils.registry "separator"): unknown
+    # separator_type resolves there; called as cls(input_dim, num_spk,
+    # **separator_conf) and must return (masked, lens, others)
+    separator_conf: Any = None
     loss_type: str = "si_snr"
     ci_sdr_filter_length: int = 512
     dropout_rate: float = 0.1
@@ -304,7 +308,16 @@ class EnhancementModel(nn.Module):
                 dtype=c.dtype, name="separator",
             )
         else:
-            raise ValueError(f"unknown separator_type {c.separator_type}")
+            from espnet_tpu.utils.registry import resolve
+
+            cls = resolve(
+                "separator", c.separator_type,
+                f"unknown separator_type {c.separator_type}",
+            )
+            self.separator = cls(
+                feat_dim, c.num_spk,
+                **dict(c.separator_conf or {}), name="separator",
+            )
 
     def forward_enhance(self, speech_mix, speech_lengths,
                         deterministic: bool = True):
