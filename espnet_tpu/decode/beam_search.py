@@ -72,7 +72,16 @@ class Hypothesis(NamedTuple):
 
 
 def _topk(x, k):
-    return jax.lax.top_k(x, k)
+    """top_k padded with NEG_INF when fewer than k candidates exist (the
+    beam_size=1 greedy case: the per-hyp candidate pool is W*W = 1 but the
+    eos-retirement logic wants 2W slots)."""
+    avail = x.shape[-1]
+    if avail >= k:
+        return jax.lax.top_k(x, k)
+    sc, ix = jax.lax.top_k(x, avail)
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, k - avail)]
+    return (jnp.pad(sc, pad, constant_values=NEG_INF),
+            jnp.pad(ix, pad))
 
 
 
@@ -92,7 +101,9 @@ def score_candidates(
     (cand_ids (B,W,K), cand_scores (B,W,K) cumulative, att_cache, lm_cache,
     psi, r_new)."""
     b, w = s.score.shape
-    k = min(cfg.pre_beam_size, vocab_size)
+    # floor of 2: the eos-selectability rule below claims one slot, so a
+    # beam_size=1 greedy search still needs room for the actual argmax
+    k = min(max(cfg.pre_beam_size, 2), vocab_size)
     use_ctc = cfg.ctc_weight > 0.0 and lp_pad is not None
     i = s.step
     last_tok = jnp.take_along_axis(
@@ -160,7 +171,7 @@ def batched_beam_search(
     """
     b = enc_lengths.shape[0]
     w = cfg.beam_size
-    k = min(cfg.pre_beam_size, vocab_size)
+    k = min(max(cfg.pre_beam_size, 2), vocab_size)  # 2: see score_candidates
     if max_steps is None:
         raise ValueError("max_steps (static bound) is required under jit")
     l_max = max_steps
@@ -245,7 +256,13 @@ def batched_beam_search(
         top_is_eos = top_tok == eos
 
         # ---- finished pool update: eos candidates merge into fin_* ----
-        eos_scores = jnp.where(top_is_eos, top_scores, NEG_INF)
+        # reference semantics (`beam_search.py:434` post_process): only
+        # hypotheses SELECTED into the top-W retire on eos — the extra W
+        # window below exists purely so the alive beam refills after
+        # retirements, so eos candidates ranked past W must not finish
+        # (at beam_size=1 a rank-2 eos would otherwise pollute the pool)
+        in_top_w = jnp.arange(2 * w)[None, :] < w
+        eos_scores = jnp.where(top_is_eos & in_top_w, top_scores, NEG_INF)
         cand_yseq = s.yseq[bi, src_hyp]  # (B, 2W, L+1) (eos stays pad)
         cand_ylen = s.ylen[bi, src_hyp]
         all_fin_scores = jnp.concatenate([s.fin_score, eos_scores], axis=1)
@@ -338,7 +355,7 @@ def beam_search_numpy_reference(
             if v is None:
                 v = logp.shape[0]
             weighted = cfg.att_weight * logp + cfg.penalty
-            k = min(cfg.pre_beam_size, v)
+            k = min(max(cfg.pre_beam_size, 2), v)
             ids = np.argpartition(-weighted, k - 1)[:k]
             if use_ctc:
                 cand = jnp.asarray(ids[None, None, :])

@@ -117,3 +117,17 @@ def test_minlen_and_force_eos():
     for toks, score in got:
         if score > -1e29:
             assert 1 <= len(toks) <= 3
+
+
+def test_beam_size_one_greedy():
+    """beam_size=1 (greedy decode via the same program) must not crash —
+    round-3 regression: top_k(2W) over a W*W=1 candidate pool."""
+    cfg = BeamSearchConfig(beam_size=1, att_weight=1.0, ctc_weight=0.0,
+                           maxlenratio=0.5)
+    batched_fn, prefix_fn = _table_scorer(seed=7)
+    enc_len = 20
+    got = _run_fixed(cfg, batched_fn, enc_len)[0]
+    assert got and len(got[0][0]) > 0
+    ref = beam_search_numpy_reference(cfg, SOS_EOS, SOS_EOS, prefix_fn,
+                                      enc_len, max_steps=16)
+    assert got[0][0] == ref[0].yseq
