@@ -17,11 +17,23 @@ label_lengths are ignored; `blank_id` defaults to 0 (reference convention).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 
 NEG_INF = -1.0e30
+
+
+def _use_pallas_lattice() -> bool:
+    """On TPU the lattice recursions run as Pallas kernels (the whole DP in
+    VMEM, ~470 sequential XLA scan steps collapse to one kernel;
+    `ops/pallas_ctc.py`). ESPNET_TPU_DISABLE_PALLAS_CTC=1 forces the scan
+    path (ablation / debugging)."""
+    return (
+        jax.default_backend() == "tpu"
+        and os.environ.get("ESPNET_TPU_DISABLE_PALLAS_CTC", "") in ("", "0")
+    )
 
 
 def _extended_labels(labels: jnp.ndarray, blank_id: int) -> jnp.ndarray:
@@ -169,7 +181,14 @@ def _ctc_fwd_impl(log_probs, labels, input_lengths, label_lengths, blank_id):
     ext = _extended_labels(labels, blank_id)
     emit = _label_log_probs(log_probs, ext)
     skip_mask = _transition_mask(ext)
-    alpha_last = _forward_alphas(emit, skip_mask, input_lengths, return_all=False)
+    if _use_pallas_lattice():
+        from espnet_tpu.ops.pallas_ctc import ctc_alphas_pallas
+
+        _, alpha_last = ctc_alphas_pallas(emit, skip_mask, input_lengths)
+    else:
+        alpha_last = _forward_alphas(
+            emit, skip_mask, input_lengths, return_all=False
+        )
     log_z = _final_log_z(alpha_last, label_lengths)
     feasible = input_lengths >= (label_lengths + _min_frames(labels, label_lengths))
     loss = jnp.where(feasible & (log_z > NEG_INF / 2), -log_z, 0.0)
@@ -197,11 +216,21 @@ def _ctc_fwd(log_probs, labels, input_lengths, label_lengths, blank_id):
 def _ctc_bwd(blank_id, residuals, g):
     log_probs, ext, skip_mask, input_lengths, label_lengths, log_z, feasible = residuals
     emit = _label_log_probs(log_probs, ext)
-    alphas = _forward_alphas(emit, skip_mask, input_lengths)
-    betas = _backward_betas(emit, skip_mask, input_lengths, label_lengths)
-    # gamma[t, b, s] = P(state s at t | X) ; beta includes emit_t, alpha too,
-    # so alpha + beta double-counts emit_t: subtract it.
-    gamma = alphas + betas - emit - log_z[None, :, None]
+    if _use_pallas_lattice():
+        from espnet_tpu.ops.pallas_ctc import (
+            ctc_alphas_pallas, ctc_gamma_pallas,
+        )
+
+        alphas, _ = ctc_alphas_pallas(emit, skip_mask, input_lengths)
+        gamma = ctc_gamma_pallas(
+            emit, skip_mask, input_lengths, label_lengths, alphas
+        ) - log_z[None, :, None]
+    else:
+        alphas = _forward_alphas(emit, skip_mask, input_lengths)
+        betas = _backward_betas(emit, skip_mask, input_lengths, label_lengths)
+        # gamma[t, b, s] = P(state s at t | X); beta includes emit_t, alpha
+        # too, so alpha + beta double-counts emit_t: subtract it.
+        gamma = alphas + betas - emit - log_z[None, :, None]
     t_max, b, s = gamma.shape
     v = log_probs.shape[-1]
     occ = jnp.exp(jnp.minimum(gamma, 0.0))  # clamp numeric noise
