@@ -87,7 +87,8 @@ def main() -> None:
     )
     model = ASRModel(cfg)
     tx = build_optimizer("adam", lr=2e-3, schedule="warmuplr",
-                         warmup_steps=25000, d_model=cfg.d_model)
+                         warmup_steps=25000, d_model=cfg.d_model,
+                         flatten=True)
     train_step = make_train_step(model, tx)
 
     b, secs, u = args.batch, args.secs, 40

@@ -149,11 +149,14 @@ def _scores(qu, qv, ks, pw, kb_row, scale, blk, interpret):
     return (ac + bd) * scale + kb_row[None, :]
 
 
-def _fwd_kernel(qu_ref, qv_ref, k_ref, v_ref, p_ref, kb_ref, o_ref, lse_ref,
-                *, blk: int, m: int, scale: float, interpret: bool):
+def _fwd_kernel(q_ref, u_ref, vb_ref, k_ref, v_ref, p_ref, kb_ref, o_ref,
+                lse_ref, *, blk: int, m: int, scale: float, interpret: bool):
     qb = pl.program_id(1)
-    qu = qu_ref[0]
-    qv = qv_ref[0]
+    q = q_ref[0]
+    # position biases are added in-kernel: one q stream from HBM instead of
+    # two precomputed (q+u), (q+v) arrays
+    qu = q + u_ref[0].astype(q.dtype)
+    qv = q + vb_ref[0].astype(q.dtype)
     d = qu.shape[-1]
 
     def body(j, carry):
@@ -245,18 +248,22 @@ def _dqdp_kernel(qu_ref, qv_ref, k_ref, v_ref, p_ref, kb_ref, do_ref,
         dp_ref[0, 0] += contrib
 
 
-def _fused1_bwd_kernel(qu_ref, qv_ref, k_ref, v_ref, p_ref, kb_ref, do_ref,
-                       lse_ref, dl_ref, dqu_ref, dqv_ref, dk_ref, dv_ref,
-                       dp_ref, *, blk: int, scale: float, interpret: bool):
+def _fused1_bwd_kernel(q_ref, u_ref, vb_ref, k_ref, v_ref, p_ref, kb_ref,
+                       do_ref, lse_ref, dl_ref, dq_ref, dk_ref, dv_ref,
+                       dp_ref, du_ref, dvb_ref,
+                       *, blk: int, scale: float, interpret: bool):
     """Single-pass backward for the m == 1 case (whole sequence in one
     tile, the common bucket once T <= BLK): the score/weight tile is
-    computed ONCE and every gradient (dqu, dqv, dk, dv, dp) falls out of
-    it — versus the general 3-output/2-kernel path which recomputes the
-    tile twice. Grid (H, B): for one head the batch steps run
-    consecutively so the dp output block accumulates across the batch."""
+    computed ONCE and every gradient (dq = dqu+dqv summed in-kernel, dk,
+    dv, dp, du, dvb) falls out of it — versus the general 3-output/2-kernel
+    path which recomputes the tile twice. Grid (H, B): for one head the
+    batch steps run consecutively so the dp/du/dvb output blocks
+    accumulate across the batch. Padded-query rows contribute zero
+    automatically: the caller's output slice makes their `do` rows zero."""
     bb = pl.program_id(1)
-    qu = qu_ref[0]
-    qv = qv_ref[0]
+    q = q_ref[0]
+    qu = q + u_ref[0].astype(q.dtype)
+    qv = q + vb_ref[0].astype(q.dtype)
     ks = k_ref[0]
     vs = v_ref[0]
     pw = p_ref[0]
@@ -271,15 +278,16 @@ def _fused1_bwd_kernel(qu_ref, qv_ref, k_ref, v_ref, p_ref, kb_ref, do_ref,
         preferred_element_type=jnp.float32,
     )
     ds = w * (dp_s - delta[:, None]) * scale
-    dqu_ref[0] = jax.lax.dot_general(
+    dqu = jax.lax.dot_general(
         ds.astype(ks.dtype), ks, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     ds2 = _unskew(ds, blk, interpret)
-    dqv_ref[0] = jax.lax.dot_general(
+    dqv = jax.lax.dot_general(
         ds2.astype(pw.dtype), pw, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    dq_ref[0] = dqu + dqv
     dv_ref[0] = jax.lax.dot_general(
         w.astype(do.dtype), do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -292,26 +300,35 @@ def _fused1_bwd_kernel(qu_ref, qv_ref, k_ref, v_ref, p_ref, kb_ref, do_ref,
         ds2.astype(qv.dtype), qv, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (2*BLK, D)
+    du_t = jnp.sum(dqu, axis=0, keepdims=True)   # (1, D)
+    dvb_t = jnp.sum(dqv, axis=0, keepdims=True)
 
     @pl.when(bb == 0)
     def _():
         dp_ref[0] = contrib
+        du_ref[...] = du_t
+        dvb_ref[...] = dvb_t
 
     @pl.when(bb != 0)
     def _():
         dp_ref[0] += contrib
+        du_ref[...] += du_t
+        dvb_ref[...] += dvb_t
 
 
-def _flash_bwd_fused1(qu, qv, k, v, p2, kbias3, do, lse, delta, blk,
+def _flash_bwd_fused1(q, u2, vb2, k, v, p2, kbias3, do, lse, delta, blk,
                       interpret):
     """m == 1 backward: one pallas_call, grid (H, B)."""
-    bh, t, d = qu.shape
+    bh, t, d = q.shape
     h = p2.shape[0]
     b = kbias3.shape[0]
     scale = 1.0 / (d ** 0.5)
     per_bh = [
         pl.BlockSpec((1, t, d), lambda hh, bb, H=h: (bb * H + hh, 0, 0)),
-    ] * 4 + [
+        pl.BlockSpec((1, d), lambda hh, bb: (hh, 0)),
+        pl.BlockSpec((1, d), lambda hh, bb: (hh, 0)),
+        pl.BlockSpec((1, t, d), lambda hh, bb, H=h: (bb * H + hh, 0, 0)),
+        pl.BlockSpec((1, t, d), lambda hh, bb, H=h: (bb * H + hh, 0, 0)),
         pl.BlockSpec((1, 2 * t, d), lambda hh, bb: (hh, 0, 0)),
         pl.BlockSpec((1, 1, t), lambda hh, bb: (bb, 0, 0)),
         pl.BlockSpec((1, t, d), lambda hh, bb, H=h: (bb * H + hh, 0, 0)),
@@ -319,7 +336,7 @@ def _flash_bwd_fused1(qu, qv, k, v, p2, kbias3, do, lse, delta, blk,
         pl.BlockSpec((1, 1, t), lambda hh, bb, H=h: (bb * H + hh, 0, 0)),
     ]
     out_bh = pl.BlockSpec((1, t, d), lambda hh, bb, H=h: (bb * H + hh, 0, 0))
-    dqu, dqv, dk, dv, dp2 = pl.pallas_call(
+    dq, dk, dv, dp2, du, dvb = pl.pallas_call(
         functools.partial(_fused1_bwd_kernel, blk=blk, scale=scale,
                           interpret=interpret),
         grid=(h, b),
@@ -328,16 +345,19 @@ def _flash_bwd_fused1(qu, qv, k, v, p2, kbias3, do, lse, delta, blk,
             jax.ShapeDtypeStruct((bh, t, d), jnp.float32),
             jax.ShapeDtypeStruct((bh, t, d), jnp.float32),
             jax.ShapeDtypeStruct((bh, t, d), jnp.float32),
-            jax.ShapeDtypeStruct((bh, t, d), jnp.float32),
             jax.ShapeDtypeStruct((h, 2 * t, d), jnp.float32),
+            jax.ShapeDtypeStruct((h, d), jnp.float32),
+            jax.ShapeDtypeStruct((h, d), jnp.float32),
         ),
         out_specs=(
-            out_bh, out_bh, out_bh, out_bh,
+            out_bh, out_bh, out_bh,
             pl.BlockSpec((1, 2 * t, d), lambda hh, bb: (hh, 0, 0)),
+            pl.BlockSpec((1, d), lambda hh, bb: (hh, 0)),
+            pl.BlockSpec((1, d), lambda hh, bb: (hh, 0)),
         ),
         interpret=interpret,
-    )(qu, qv, k, v, p2, kbias3, do, lse, delta)
-    return dqu, dqv, dk, dv, dp2
+    )(q, u2, vb2, k, v, p2, kbias3, do, lse, delta)
+    return dq, dk, dv, dp2, du, dvb
 
 
 def _dkv_kernel(qu_ref, qv_ref, k_ref, v_ref, p_ref, kb_ref, do_ref, lse_ref,
@@ -380,14 +400,14 @@ def _dkv_kernel(qu_ref, qv_ref, k_ref, v_ref, p_ref, kb_ref, do_ref, lse_ref,
     dv_ref[0] = dv
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def _flash_core(qu, qv, k, v, p2, kbias, blk: int, interpret: bool):
-    o, _ = _flash_fwd_impl(qu, qv, k, v, p2, kbias, blk, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _flash_core(q, u2, vb2, k, v, p2, kbias, blk: int, interpret: bool):
+    o, _ = _flash_fwd_impl(q, u2, vb2, k, v, p2, kbias, blk, interpret)
     return o
 
 
-def _flash_fwd_impl(qu, qv, k, v, p2, kbias, blk, interpret):
-    bh, t, d = qu.shape
+def _flash_fwd_impl(q, u2, vb2, k, v, p2, kbias, blk, interpret):
+    bh, t, d = q.shape
     h = p2.shape[0]
     b = kbias.shape[0]
     m = t // blk
@@ -399,14 +419,15 @@ def _flash_fwd_impl(qu, qv, k, v, p2, kbias, blk, interpret):
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, blk, d), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, blk, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, d), lambda i, j, H=h: (i % H, 0)),
+            pl.BlockSpec((1, d), lambda i, j, H=h: (i % H, 0)),
             pl.BlockSpec((1, t, d), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, t, d), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, 2 * t, d), lambda i, j: (i % h, 0, 0)),
             pl.BlockSpec((1, 1, t), lambda i, j: (i // h, 0, 0)),
         ],
         out_shape=(
-            jax.ShapeDtypeStruct((bh, t, d), qu.dtype),
+            jax.ShapeDtypeStruct((bh, t, d), q.dtype),
             jax.ShapeDtypeStruct((bh, 1, t), jnp.float32),
         ),
         out_specs=(
@@ -414,18 +435,18 @@ def _flash_fwd_impl(qu, qv, k, v, p2, kbias, blk, interpret):
             pl.BlockSpec((1, 1, t), lambda i, j: (i, 0, 0)),
         ),
         interpret=interpret,
-    )(qu, qv, k, v, p2, kbias)
+    )(q, u2, vb2, k, v, p2, kbias)
     return o, lse
 
 
-def _flash_fwd(qu, qv, k, v, p2, kbias, blk, interpret):
-    o, lse = _flash_fwd_impl(qu, qv, k, v, p2, kbias, blk, interpret)
-    return o, (qu, qv, k, v, p2, kbias, o, lse)
+def _flash_fwd(q, u2, vb2, k, v, p2, kbias, blk, interpret):
+    o, lse = _flash_fwd_impl(q, u2, vb2, k, v, p2, kbias, blk, interpret)
+    return o, (q, u2, vb2, k, v, p2, kbias, o, lse)
 
 
 def _flash_bwd(blk, interpret, res, g):
-    qu, qv, k, v, p2, kbias, o, lse = res
-    bh, t, d = qu.shape
+    q, u2, vb2, k, v, p2, kbias, o, lse = res
+    bh, t, d = q.shape
     h = p2.shape[0]
     b = kbias.shape[0]
     m = t // blk
@@ -435,15 +456,20 @@ def _flash_bwd(blk, interpret, res, g):
         do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
     ).reshape(bh, 1, t)
     kbias3 = kbias.reshape(b, 1, t)
+    dkbias = jnp.zeros_like(kbias)  # mask bias is a non-learned constant
 
     if m == 1:
-        dqu, dqv, dk, dv, dp2 = _flash_bwd_fused1(
-            qu, qv, k, v, p2, kbias3, do, lse, delta, blk, interpret
+        dq, dk, dv, dp2, du, dvb = _flash_bwd_fused1(
+            q, u2, vb2, k, v, p2, kbias3, do, lse, delta, blk, interpret
         )
-        dkbias = jnp.zeros_like(kbias)
-        return (dqu.astype(qu.dtype), dqv.astype(qv.dtype),
-                dk.astype(k.dtype), dv.astype(v.dtype),
-                dp2.astype(p2.dtype), dkbias)
+        return (dq.astype(q.dtype), du.astype(u2.dtype),
+                dvb.astype(vb2.dtype), dk.astype(k.dtype),
+                dv.astype(v.dtype), dp2.astype(p2.dtype), dkbias)
+
+    # general path: build qu/qv once in XLA, reuse the 2-kernel backward,
+    # aggregate dq/du/dvb from its dqu/dqv outputs (row i is head i % h)
+    qu = q + jnp.tile(u2.astype(q.dtype), (bh // h, 1)).reshape(bh, 1, d)
+    qv = q + jnp.tile(vb2.astype(q.dtype), (bh // h, 1)).reshape(bh, 1, d)
 
     common_specs = [
         pl.BlockSpec((1, t, d), lambda i, j: (i, 0, 0)),  # qu full
@@ -515,9 +541,12 @@ def _flash_bwd(blk, interpret, res, g):
             ((0, 0), ((m - 1 - qb) * blk, qb * blk), (0, 0)),
         )
 
-    dkbias = jnp.zeros_like(kbias)  # mask bias is a non-learned constant
-    return (dqu.astype(qu.dtype), dqv.astype(qv.dtype), dk.astype(k.dtype),
-            dv.astype(v.dtype), dp2.astype(p2.dtype), dkbias)
+    dq = dqu + dqv
+    du = jnp.sum(dqu.reshape(b, h, t, d), axis=(0, 2))
+    dvb = jnp.sum(dqv.reshape(b, h, t, d), axis=(0, 2))
+    return (dq.astype(q.dtype), du.astype(u2.dtype), dvb.astype(vb2.dtype),
+            dk.astype(k.dtype), dv.astype(v.dtype), dp2.astype(p2.dtype),
+            dkbias)
 
 
 _flash_core.defvjp(_flash_fwd, _flash_bwd)
@@ -568,12 +597,8 @@ def relpos_flash_attention(
     tp = -(-t // block) * block
     m = tp // block
 
-    qu = q + pos_bias_u.astype(q.dtype)[None, :, None, :]
-    qv = q + pos_bias_v.astype(q.dtype)[None, :, None, :]
-
     pad_t = tp - t
-    qu = jnp.pad(qu, ((0, 0), (0, 0), (0, pad_t), (0, 0)))
-    qv = jnp.pad(qv, ((0, 0), (0, 0), (0, pad_t), (0, 0)))
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad_t), (0, 0)))
     kp = jnp.pad(k, ((0, 0), (0, 0), (0, pad_t), (0, 0)))
     vp = jnp.pad(v, ((0, 0), (0, 0), (0, pad_t), (0, 0)))
 
@@ -592,11 +617,13 @@ def relpos_flash_attention(
     p2 = jnp.zeros((h, 2 * tp, d), p.dtype)
     p2 = jax.lax.dynamic_update_slice(p2, p.astype(p2.dtype), (0, tp - t, 0))
 
-    qu2 = qu.reshape(b * h, tp, d)
-    qv2 = qv.reshape(b * h, tp, d)
+    q2 = qp.reshape(b * h, tp, d)
     k2 = kp.reshape(b * h, tp, d)
     v2 = vp.reshape(b * h, tp, d)
-    o = _flash_core(qu2, qv2, k2, v2, p2, kbias, block, interpret)
+    o = _flash_core(
+        q2, pos_bias_u.astype(jnp.float32), pos_bias_v.astype(jnp.float32),
+        k2, v2, p2, kbias, block, interpret,
+    )
     return o.reshape(b, h, tp, d)[:, :, :t, :]
 
 

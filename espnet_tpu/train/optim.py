@@ -27,6 +27,7 @@ def build_optimizer(
     eps: float = 1e-9,
     grad_clip: float = 5.0,
     momentum: float = 0.9,
+    flatten: bool = False,
 ) -> optax.GradientTransformation:
     sched = build_schedule(schedule, lr, warmup_steps=warmup_steps,
                            d_model=d_model)
@@ -45,4 +46,12 @@ def build_optimizer(
     if grad_clip and grad_clip > 0:
         chain.append(optax.clip_by_global_norm(grad_clip))
     chain.append(opt)
-    return optax.chain(*chain)
+    tx = optax.chain(*chain)
+    if flatten:
+        # one contiguous update over the concatenated parameter vector
+        # instead of ~hundreds of per-leaf fused loops: measurable step-time
+        # win on TPU. NOT compatible with ZeRO-1 (`parallel/api.py`
+        # state_shardings maps optimizer leaves by parameter name) and
+        # changes the checkpointed opt_state layout.
+        tx = optax.flatten(tx)
+    return tx
