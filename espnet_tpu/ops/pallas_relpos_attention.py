@@ -306,14 +306,14 @@ def _fused1_bwd_kernel(q_ref, u_ref, vb_ref, k_ref, v_ref, p_ref, kb_ref,
     @pl.when(bb == 0)
     def _():
         dp_ref[0] = contrib
-        du_ref[...] = du_t
-        dvb_ref[...] = dvb_t
+        du_ref[0] = du_t
+        dvb_ref[0] = dvb_t
 
     @pl.when(bb != 0)
     def _():
         dp_ref[0] += contrib
-        du_ref[...] += du_t
-        dvb_ref[...] += dvb_t
+        du_ref[0] += du_t
+        dvb_ref[0] += dvb_t
 
 
 def _flash_bwd_fused1(q, u2, vb2, k, v, p2, kbias3, do, lse, delta, blk,
@@ -325,8 +325,8 @@ def _flash_bwd_fused1(q, u2, vb2, k, v, p2, kbias3, do, lse, delta, blk,
     scale = 1.0 / (d ** 0.5)
     per_bh = [
         pl.BlockSpec((1, t, d), lambda hh, bb, H=h: (bb * H + hh, 0, 0)),
-        pl.BlockSpec((1, d), lambda hh, bb: (hh, 0)),
-        pl.BlockSpec((1, d), lambda hh, bb: (hh, 0)),
+        pl.BlockSpec((1, 1, d), lambda hh, bb: (hh, 0, 0)),
+        pl.BlockSpec((1, 1, d), lambda hh, bb: (hh, 0, 0)),
         pl.BlockSpec((1, t, d), lambda hh, bb, H=h: (bb * H + hh, 0, 0)),
         pl.BlockSpec((1, t, d), lambda hh, bb, H=h: (bb * H + hh, 0, 0)),
         pl.BlockSpec((1, 2 * t, d), lambda hh, bb: (hh, 0, 0)),
@@ -346,14 +346,14 @@ def _flash_bwd_fused1(q, u2, vb2, k, v, p2, kbias3, do, lse, delta, blk,
             jax.ShapeDtypeStruct((bh, t, d), jnp.float32),
             jax.ShapeDtypeStruct((bh, t, d), jnp.float32),
             jax.ShapeDtypeStruct((h, 2 * t, d), jnp.float32),
-            jax.ShapeDtypeStruct((h, d), jnp.float32),
-            jax.ShapeDtypeStruct((h, d), jnp.float32),
+            jax.ShapeDtypeStruct((h, 1, d), jnp.float32),
+            jax.ShapeDtypeStruct((h, 1, d), jnp.float32),
         ),
         out_specs=(
             out_bh, out_bh, out_bh,
             pl.BlockSpec((1, 2 * t, d), lambda hh, bb: (hh, 0, 0)),
-            pl.BlockSpec((1, d), lambda hh, bb: (hh, 0)),
-            pl.BlockSpec((1, d), lambda hh, bb: (hh, 0)),
+            pl.BlockSpec((1, 1, d), lambda hh, bb: (hh, 0, 0)),
+            pl.BlockSpec((1, 1, d), lambda hh, bb: (hh, 0, 0)),
         ),
         interpret=interpret,
     )(q, u2, vb2, k, v, p2, kbias3, do, lse, delta)
@@ -419,8 +419,8 @@ def _flash_fwd_impl(q, u2, vb2, k, v, p2, kbias, blk, interpret):
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, blk, d), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, d), lambda i, j, H=h: (i % H, 0)),
-            pl.BlockSpec((1, d), lambda i, j, H=h: (i % H, 0)),
+            pl.BlockSpec((1, 1, d), lambda i, j, H=h: (i % H, 0, 0)),
+            pl.BlockSpec((1, 1, d), lambda i, j, H=h: (i % H, 0, 0)),
             pl.BlockSpec((1, t, d), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, t, d), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, 2 * t, d), lambda i, j: (i % h, 0, 0)),
@@ -468,8 +468,8 @@ def _flash_bwd(blk, interpret, res, g):
 
     # general path: build qu/qv once in XLA, reuse the 2-kernel backward,
     # aggregate dq/du/dvb from its dqu/dqv outputs (row i is head i % h)
-    qu = q + jnp.tile(u2.astype(q.dtype), (bh // h, 1)).reshape(bh, 1, d)
-    qv = q + jnp.tile(vb2.astype(q.dtype), (bh // h, 1)).reshape(bh, 1, d)
+    qu = q + jnp.tile(u2.astype(q.dtype), (bh // h, 1, 1))
+    qv = q + jnp.tile(vb2.astype(q.dtype), (bh // h, 1, 1))
 
     common_specs = [
         pl.BlockSpec((1, t, d), lambda i, j: (i, 0, 0)),  # qu full
@@ -542,8 +542,8 @@ def _flash_bwd(blk, interpret, res, g):
         )
 
     dq = dqu + dqv
-    du = jnp.sum(dqu.reshape(b, h, t, d), axis=(0, 2))
-    dvb = jnp.sum(dqv.reshape(b, h, t, d), axis=(0, 2))
+    du = jnp.sum(dqu.reshape(b, h, t, d), axis=(0, 2))[:, None, :]
+    dvb = jnp.sum(dqv.reshape(b, h, t, d), axis=(0, 2))[:, None, :]
     return (dq.astype(q.dtype), du.astype(u2.dtype), dvb.astype(vb2.dtype),
             dk.astype(k.dtype), dv.astype(v.dtype), dp2.astype(p2.dtype),
             dkbias)
@@ -621,7 +621,8 @@ def relpos_flash_attention(
     k2 = kp.reshape(b * h, tp, d)
     v2 = vp.reshape(b * h, tp, d)
     o = _flash_core(
-        q2, pos_bias_u.astype(jnp.float32), pos_bias_v.astype(jnp.float32),
+        q2, pos_bias_u.astype(jnp.float32)[:, None, :],
+        pos_bias_v.astype(jnp.float32)[:, None, :],
         k2, v2, p2, kbias, block, interpret,
     )
     return o.reshape(b, h, tp, d)[:, :, :t, :]
