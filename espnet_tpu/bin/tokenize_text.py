@@ -20,6 +20,12 @@ def get_parser():
     p.add_argument("--field", default=None,
                    help="e.g. '2-' to keep the utt-id column untouched")
     p.add_argument("--delimiter", default=" ")
+    p.add_argument("--cleaner", default=None,
+                   choices=[None, "moses", "nkf"],
+                   help="pre-tokenization text normalization: 'moses' "
+                        "(Moses tokenizer.perl role) or 'nkf' (charset "
+                        "normalization role); see data/text_norm.py")
+    p.add_argument("--lang", default="en", help="language for --cleaner moses")
     return p
 
 
@@ -28,6 +34,16 @@ def main(argv=None):
     from espnet_tpu.data.tokenizer import build_tokenizer
 
     tok = build_tokenizer(args.token_type, args.bpe_model)
+    if args.cleaner == "moses":
+        from espnet_tpu.data.text_norm import moses_tokenize, normalize_charset
+
+        def clean(t):
+            return " ".join(moses_tokenize(normalize_charset(t), args.lang))
+    elif args.cleaner == "nkf":
+        from espnet_tpu.data.text_norm import normalize_charset as clean
+    else:
+        def clean(t):
+            return t
     fin = sys.stdin if args.input == "-" else open(args.input, encoding="utf-8")
     fout = (sys.stdout if args.output == "-"
             else open(args.output, "w", encoding="utf-8"))
@@ -39,10 +55,12 @@ def main(argv=None):
                 n = int(args.field[:-1]) - 1
                 parts = line.split(args.delimiter)
                 head, text = parts[:n], args.delimiter.join(parts[n:])
-                toks = tok.text2tokens(text)
+                toks = tok.text2tokens(clean(text))
                 fout.write(args.delimiter.join(head + toks) + "\n")
             else:
-                fout.write(args.delimiter.join(tok.text2tokens(line)) + "\n")
+                fout.write(
+                    args.delimiter.join(tok.text2tokens(clean(line))) + "\n"
+                )
 
 
 if __name__ == "__main__":
