@@ -360,6 +360,170 @@ def _flash_bwd_fused1(q, u2, vb2, k, v, p2, kbias3, do, lse, delta, blk,
     return dq, dk, dv, dp2, du, dvb
 
 
+def _fwd_kernel_fold(q_ref, u_ref, vb_ref, k_ref, v_ref, p_ref, kb_ref,
+                     o_ref, lse_ref, *, blk: int, h: int, scale: float,
+                     interpret: bool):
+    """m == 1 forward with ALL heads of one batch item per grid step.
+
+    The m==1 tile work (a few (BLK, 64) matmuls + one softmax) is far too
+    small to amortise per-grid-step dispatch: grid (B*H, 1) spends most of
+    its time between steps. Folding the head loop into the kernel (static
+    unroll, identical per-head math) cuts the grid from B*H to B steps and
+    lets the per-head streams pipeline on the MXU/VPU."""
+    kb = kb_ref[0, 0]
+    for hh in range(h):
+        q = q_ref[hh]
+        qu = q + u_ref[hh].astype(q.dtype)
+        qv = q + vb_ref[hh].astype(q.dtype)
+        s = _scores(qu, qv, k_ref[hh], p_ref[hh], kb, scale, blk, interpret)
+        mx = jnp.max(s, axis=-1)
+        pmat = jnp.exp(s - mx[:, None])
+        l = jnp.sum(pmat, axis=-1)
+        l_safe = jnp.maximum(l, 1e-30)
+        acc = jax.lax.dot_general(
+            pmat.astype(v_ref.dtype), v_ref[hh], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[hh] = (acc / l_safe[:, None]).astype(o_ref.dtype)
+        lse_ref[hh, 0] = mx + jnp.log(l_safe)
+
+
+def _flash_fwd_fold(q, u2, vb2, k, v, p2, kbias3, blk, interpret):
+    """m == 1 forward: one pallas_call, grid (B,), all heads per step."""
+    bh, t, d = q.shape
+    h = p2.shape[0]
+    b = kbias3.shape[0]
+    per_h_full = pl.BlockSpec((h, 1, d), lambda bb: (0, 0, 0))
+    per_b = pl.BlockSpec((h, t, d), lambda bb: (bb, 0, 0))
+    o, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel_fold, blk=blk, h=h,
+                          scale=1.0 / (d ** 0.5), interpret=interpret),
+        grid=(b,),
+        in_specs=[
+            per_b, per_h_full, per_h_full, per_b, per_b,
+            pl.BlockSpec((h, 2 * t, d), lambda bb: (0, 0, 0)),
+            pl.BlockSpec((1, 1, t), lambda bb: (bb, 0, 0)),
+        ],
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, t, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, 1, t), jnp.float32),
+        ),
+        out_specs=(per_b, pl.BlockSpec((h, 1, t), lambda bb: (bb, 0, 0))),
+        interpret=interpret,
+    )(q, u2, vb2, k, v, p2, kbias3)
+    return o, lse
+
+
+def _fused1_bwd_kernel_fold(q_ref, u_ref, vb_ref, k_ref, v_ref, p_ref,
+                            kb_ref, do_ref, lse_ref, dl_ref, dq_ref, dk_ref,
+                            dv_ref, dp_ref, du_ref, dvb_ref,
+                            *, blk: int, h: int, scale: float,
+                            interpret: bool):
+    """Head-folded `_fused1_bwd_kernel`: grid (B,), per-head math unrolled
+    in-kernel; dp/du/dvb accumulate across the batch grid run."""
+    bb = pl.program_id(0)
+    kb = kb_ref[0, 0]
+    for hh in range(h):
+        q = q_ref[hh]
+        qu = q + u_ref[hh].astype(q.dtype)
+        qv = q + vb_ref[hh].astype(q.dtype)
+        ks = k_ref[hh]
+        vs = v_ref[hh]
+        pw = p_ref[hh]
+        do = do_ref[hh].astype(jnp.float32)
+        lse = lse_ref[hh, 0]
+        delta = dl_ref[hh, 0]
+        s = _scores(qu, qv, ks, pw, kb, scale, blk, interpret)
+        w = jnp.exp(s - lse[:, None])
+        dp_s = jax.lax.dot_general(
+            do, vs.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = w * (dp_s - delta[:, None]) * scale
+        dqu = jax.lax.dot_general(
+            ds.astype(ks.dtype), ks, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds2 = _unskew(ds, blk, interpret)
+        dqv = jax.lax.dot_general(
+            ds2.astype(pw.dtype), pw, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dq_ref[hh] = dqu + dqv
+        dv_ref[hh] = jax.lax.dot_general(
+            w.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dk_ref[hh] = jax.lax.dot_general(
+            ds.astype(qu.dtype), qu, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        contrib = jax.lax.dot_general(
+            ds2.astype(qv.dtype), qv, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (2*BLK, D)
+        du_t = jnp.sum(dqu, axis=0, keepdims=True)   # (1, D)
+        dvb_t = jnp.sum(dqv, axis=0, keepdims=True)
+
+        @pl.when(bb == 0)
+        def _():
+            dp_ref[hh] = contrib
+            du_ref[hh] = du_t
+            dvb_ref[hh] = dvb_t
+
+        @pl.when(bb != 0)
+        def _():
+            dp_ref[hh] += contrib
+            du_ref[hh] += du_t
+            dvb_ref[hh] += dvb_t
+
+
+def _flash_bwd_fold(q, u2, vb2, k, v, p2, kbias3, do, lse, delta, blk,
+                    interpret):
+    """m == 1 backward: one pallas_call, grid (B,), all heads per step."""
+    bh, t, d = q.shape
+    h = p2.shape[0]
+    b = kbias3.shape[0]
+    scale = 1.0 / (d ** 0.5)
+    per_h_full = pl.BlockSpec((h, 1, d), lambda bb: (0, 0, 0))
+    per_b = pl.BlockSpec((h, t, d), lambda bb: (bb, 0, 0))
+    per_b_row = pl.BlockSpec((h, 1, t), lambda bb: (bb, 0, 0))
+    dq, dk, dv, dp2, du, dvb = pl.pallas_call(
+        functools.partial(_fused1_bwd_kernel_fold, blk=blk, h=h, scale=scale,
+                          interpret=interpret),
+        grid=(b,),
+        in_specs=[
+            per_b, per_h_full, per_h_full, per_b, per_b,
+            pl.BlockSpec((h, 2 * t, d), lambda bb: (0, 0, 0)),
+            pl.BlockSpec((1, 1, t), lambda bb: (bb, 0, 0)),
+            per_b, per_b_row, per_b_row,
+        ],
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, t, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, t, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, t, d), jnp.float32),
+            jax.ShapeDtypeStruct((h, 2 * t, d), jnp.float32),
+            jax.ShapeDtypeStruct((h, 1, d), jnp.float32),
+            jax.ShapeDtypeStruct((h, 1, d), jnp.float32),
+        ),
+        out_specs=(
+            per_b, per_b, per_b,
+            pl.BlockSpec((h, 2 * t, d), lambda bb: (0, 0, 0)),
+            pl.BlockSpec((h, 1, d), lambda bb: (0, 0, 0)),
+            pl.BlockSpec((h, 1, d), lambda bb: (0, 0, 0)),
+        ),
+        interpret=interpret,
+    )(q, u2, vb2, k, v, p2, kbias3, do, lse, delta)
+    return dq, dk, dv, dp2, du, dvb
+
+
+def _fold_heads() -> bool:
+    """ESPNET_TPU_ATTN_FOLD=0 restores the per-(batch, head) grid."""
+    import os
+
+    return os.environ.get("ESPNET_TPU_ATTN_FOLD", "1") != "0"
+
+
 def _dkv_kernel(qu_ref, qv_ref, k_ref, v_ref, p_ref, kb_ref, do_ref, lse_ref,
                 dl_ref, dk_ref, dv_ref,
                 *, blk: int, m: int, scale: float, interpret: bool):
@@ -411,8 +575,10 @@ def _flash_fwd_impl(q, u2, vb2, k, v, p2, kbias, blk, interpret):
     h = p2.shape[0]
     b = kbias.shape[0]
     m = t // blk
-    grid = (bh, m)
     kbias = kbias.reshape(b, 1, t)
+    if m == 1 and _fold_heads():
+        return _flash_fwd_fold(q, u2, vb2, k, v, p2, kbias, blk, interpret)
+    grid = (bh, m)
     o, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, blk=blk, m=m,
                           scale=1.0 / (d ** 0.5), interpret=interpret),
@@ -459,7 +625,8 @@ def _flash_bwd(blk, interpret, res, g):
     dkbias = jnp.zeros_like(kbias)  # mask bias is a non-learned constant
 
     if m == 1:
-        dq, dk, dv, dp2, du, dvb = _flash_bwd_fused1(
+        bwd1 = _flash_bwd_fold if _fold_heads() else _flash_bwd_fused1
+        dq, dk, dv, dp2, du, dvb = bwd1(
             q, u2, vb2, k, v, p2, kbias3, do, lse, delta, blk, interpret
         )
         return (dq.astype(q.dtype), du.astype(u2.dtype),

@@ -77,3 +77,30 @@ def test_grad_parity(block):
         np.testing.assert_allclose(
             np.asarray(b_), np.asarray(a), rtol=3e-4, atol=3e-4, err_msg=n
         )
+
+
+def test_fold_matches_unfolded(monkeypatch):
+    """The head-folded m==1 kernels (grid (B,)) must match the per-(B,H)
+    grid bit-for... well, numerically — forward and every gradient."""
+    (q, k, v, p, u, vb, bias), lens = _inputs(t=96)
+    gproj = jnp.asarray(np.random.RandomState(2).randn(2, 2, 96, 16),
+                        jnp.float32)
+
+    def run():
+        def loss(q, k, v, p, u, vb):
+            out = relpos_flash_attention(q, k, v, p, u, vb, bias,
+                                         block=96, interpret=True)
+            return jnp.sum(out * gproj), out
+        (l, out), g = jax.value_and_grad(
+            loss, argnums=(0, 1, 2, 3, 4, 5), has_aux=True)(q, k, v, p, u, vb)
+        return out, g
+
+    monkeypatch.setenv("ESPNET_TPU_ATTN_FOLD", "1")
+    out1, g1 = run()
+    monkeypatch.setenv("ESPNET_TPU_ATTN_FOLD", "0")
+    out0, g0 = run()
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out0),
+                               rtol=1e-5, atol=1e-5)
+    for a, b_ in zip(g1, g0):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-5)
