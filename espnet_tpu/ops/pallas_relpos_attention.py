@@ -113,7 +113,9 @@ def _unskew(g: jnp.ndarray, blk: int, interpret: bool) -> jnp.ndarray:
         return jnp.where(
             valid, jnp.take_along_axis(gz, jnp.clip(src, 0, blk - 1), axis=1), 0.0
         )
-    # target: right-roll row r by (blk-1-r) on width w.
+    # target: right-roll row r by (blk-1-r) on width w. (A single
+    # negative-stride rotate would do it, but Mosaic's dynamic_rotate
+    # only lowers small non-negative strides.)
     if _butterfly_skew():
         # constant right roll by blk-1 + binary per-row LEFT roll by r
         # (left roll by bit == circular right roll by w - bit)
@@ -126,15 +128,58 @@ def _unskew(g: jnp.ndarray, blk: int, interpret: bool) -> jnp.ndarray:
             bit *= 2
         return y
     # strided path: rows flipped with an anti-identity matmul (Mosaic has
-    # no sublane-reverse), rolled with stride +1, flipped back
+    # no sublane-reverse), rolled with stride +1, flipped back. The flips
+    # are permutations, so they run in the INPUT dtype exactly (one nonzero
+    # product per output element) — callers cast ds to bf16 first, which
+    # commutes with the permutation and quarters the MXU passes vs f32.
     j = _anti_identity(blk, gz.dtype)
     gf = jax.lax.dot_general(
         j, gz, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
+    # dynamic_rotate only lowers 32-bit data — roll in f32, matmuls in the
+    # input dtype (the flips are permutations, exact in any dtype)
     hh = pltpu.roll(gf, 0, 1, stride=1, stride_axis=0)  # right-roll row r by r
     return jax.lax.dot_general(
-        j, hh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        j, hh.astype(gz.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(gz.dtype)
+
+
+def _unskew_rev(ds, blk: int, interpret: bool) -> jnp.ndarray:
+    """Lane-REVERSED unskew: returns dsh (BLK, 2*BLK) with
+
+        dsh[r, y] = ds[r, blk-1 - (y - r)]   (zero outside)
+
+    so that the true unskew is ds2[r, x] = dsh[r, w-2-x]. Consumers absorb
+    the lane reversal by contracting against row-reversed constants
+    (pw -> pwf outside the kernel) and un-reversing the dp output rows in
+    XLA after the pallas_call — leaving ONE (BLK, BLK) reverse matmul and
+    one stride+1 rotate in-kernel, vs the two (BLK, 2BLK)-wide row-flip
+    matmuls (K=BLK each) the direct `_unskew` needs. Those flips cost more
+    MXU FLOPs than the whole real gradient math at D=64 (measured 5.7 ms
+    of a 20.3 ms 12-layer bwd at B=32, T=512).
+    """
+    w = 2 * blk
+    if interpret:
+        r = jax.lax.broadcasted_iota(jnp.int32, (blk, w), 0)
+        y = jax.lax.broadcasted_iota(jnp.int32, (blk, w), 1)
+        src = blk - 1 - (y - r)
+        valid = (src >= 0) & (src < blk)
+        return jnp.where(
+            valid,
+            jnp.take_along_axis(ds, jnp.clip(src, 0, blk - 1), axis=1),
+            jnp.zeros((), ds.dtype),
+        )
+    j = _anti_identity(blk, ds.dtype)
+    ds_rev = jax.lax.dot_general(
+        ds, j, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # ds_rev[r, c*] = ds[r, blk-1-c*]
+    gz = jnp.concatenate(
+        [ds_rev, jnp.zeros((blk, w - blk), jnp.float32)], axis=1
     )
+    # right-shift row r by r: stride +1, no wraparound contamination
+    # (data columns stay < blk + r < w)
+    return pltpu.roll(gz, 0, 1, stride=1, stride_axis=0).astype(ds.dtype)
 
 
 def _scores(qu, qv, ks, pw, kb_row, scale, blk, interpret):
@@ -222,12 +267,12 @@ def _dqdp_kernel(qu_ref, qv_ref, k_ref, v_ref, p_ref, kb_ref, do_ref,
             ds.astype(ks.dtype), ks, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        ds2 = _unskew(ds, blk, interpret)
+        ds2 = _unskew(ds.astype(pw.dtype), blk, interpret)
         dqv = dqv + jax.lax.dot_general(
-            ds2.astype(pw.dtype), pw, (((1,), (0,)), ((), ())),
+            ds2, pw, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        wide_ref[:, pl.ds(j * blk, 2 * blk)] += ds2
+        wide_ref[:, pl.ds(j * blk, 2 * blk)] += ds2.astype(jnp.float32)
         return dqu, dqv
 
     z = jnp.zeros((blk, d), jnp.float32)
@@ -282,22 +327,22 @@ def _fused1_bwd_kernel(q_ref, u_ref, vb_ref, k_ref, v_ref, p_ref, kb_ref,
         ds.astype(ks.dtype), ks, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    ds2 = _unskew(ds, blk, interpret)
+    ds2 = _unskew(ds.astype(pw.dtype), blk, interpret)
     dqv = jax.lax.dot_general(
-        ds2.astype(pw.dtype), pw, (((1,), (0,)), ((), ())),
+        ds2, pw, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    dq_ref[0] = dqu + dqv
+    dq_ref[0] = (dqu + dqv).astype(dq_ref.dtype)
     dv_ref[0] = jax.lax.dot_general(
         w.astype(do.dtype), do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
+    ).astype(dv_ref.dtype)
     dk_ref[0] = jax.lax.dot_general(
         ds.astype(qu.dtype), qu, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
+    ).astype(dk_ref.dtype)
     contrib = jax.lax.dot_general(
-        ds2.astype(qv.dtype), qv, (((0,), (0,)), ((), ())),
+        ds2, qv, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (2*BLK, D)
     du_t = jnp.sum(dqu, axis=0, keepdims=True)   # (1, D)
@@ -342,9 +387,9 @@ def _flash_bwd_fused1(q, u2, vb2, k, v, p2, kbias3, do, lse, delta, blk,
         grid=(h, b),
         in_specs=per_bh,
         out_shape=(
-            jax.ShapeDtypeStruct((bh, t, d), jnp.float32),
-            jax.ShapeDtypeStruct((bh, t, d), jnp.float32),
-            jax.ShapeDtypeStruct((bh, t, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, t, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, t, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, t, d), q.dtype),
             jax.ShapeDtypeStruct((h, 2 * t, d), jnp.float32),
             jax.ShapeDtypeStruct((h, 1, d), jnp.float32),
             jax.ShapeDtypeStruct((h, 1, d), jnp.float32),
@@ -415,12 +460,17 @@ def _flash_fwd_fold(q, u2, vb2, k, v, p2, kbias3, blk, interpret):
 
 
 def _fused1_bwd_kernel_fold(q_ref, u_ref, vb_ref, k_ref, v_ref, p_ref,
-                            kb_ref, do_ref, lse_ref, dl_ref, dq_ref, dk_ref,
-                            dv_ref, dp_ref, du_ref, dvb_ref,
+                            pf_ref, kb_ref, do_ref, lse_ref, dl_ref, dq_ref,
+                            dk_ref, dv_ref, dp_ref, du_ref, dvb_ref,
                             *, blk: int, h: int, scale: float,
                             interpret: bool):
     """Head-folded `_fused1_bwd_kernel`: grid (B,), per-head math unrolled
-    in-kernel; dp/du/dvb accumulate across the batch grid run."""
+    in-kernel; dp/du/dvb accumulate across the batch grid run.
+
+    Works in lane-reversed score coordinates (`_unskew_rev`): pf_ref holds
+    the row-reversed p-window (pf[y] = pw[2blk-2-y], built in XLA by the
+    caller) and dp_ref is produced ROW-REVERSED (dp_rev[y] = dp[2blk-2-y]);
+    the caller un-reverses it after the pallas_call."""
     bb = pl.program_id(0)
     kb = kb_ref[0, 0]
     for hh in range(h):
@@ -430,6 +480,7 @@ def _fused1_bwd_kernel_fold(q_ref, u_ref, vb_ref, k_ref, v_ref, p_ref,
         ks = k_ref[hh]
         vs = v_ref[hh]
         pw = p_ref[hh]
+        pwf = pf_ref[hh]
         do = do_ref[hh].astype(jnp.float32)
         lse = lse_ref[hh, 0]
         delta = dl_ref[hh, 0]
@@ -444,24 +495,26 @@ def _fused1_bwd_kernel_fold(q_ref, u_ref, vb_ref, k_ref, v_ref, p_ref,
             ds.astype(ks.dtype), ks, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        ds2 = _unskew(ds, blk, interpret)
+        dsh = _unskew_rev(ds.astype(pw.dtype), blk, interpret)
+        # dqv[r] = sum_x ds2[r,x] pw[x] = sum_y dsh[r,y] pwf[y]
         dqv = jax.lax.dot_general(
-            ds2.astype(pw.dtype), pw, (((1,), (0,)), ((), ())),
+            dsh, pwf, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        dq_ref[hh] = dqu + dqv
+        dq_ref[hh] = (dqu + dqv).astype(dq_ref.dtype)
         dv_ref[hh] = jax.lax.dot_general(
             w.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        ).astype(dv_ref.dtype)
         dk_ref[hh] = jax.lax.dot_general(
             ds.astype(qu.dtype), qu, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        ).astype(dk_ref.dtype)
+        # dp_rev[y] = sum_r dsh[r,y] qv[r]  ( = dp[2blk-2-y] )
         contrib = jax.lax.dot_general(
-            ds2.astype(qv.dtype), qv, (((0,), (0,)), ((), ())),
+            dsh, qv, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (2*BLK, D)
+        )  # (2*BLK, D), row-reversed dp
         du_t = jnp.sum(dqu, axis=0, keepdims=True)   # (1, D)
         dvb_t = jnp.sum(dqv, axis=0, keepdims=True)
 
@@ -484,36 +537,48 @@ def _flash_bwd_fold(q, u2, vb2, k, v, p2, kbias3, do, lse, delta, blk,
     bh, t, d = q.shape
     h = p2.shape[0]
     b = kbias3.shape[0]
+    w = 2 * t
     scale = 1.0 / (d ** 0.5)
+    # row-reversed p-window for the lane-reversed gradient coordinates:
+    # pwf[y] = pw[w-2-y] (last row never touched -> zeros). Built here in
+    # XLA (fused reverse, negligible), read by the kernel like p2.
+    pwf = jnp.concatenate(
+        [jnp.flip(p2[:, : w - 1], axis=1),
+         jnp.zeros((h, 1, d), p2.dtype)], axis=1)
     per_h_full = pl.BlockSpec((h, 1, d), lambda bb: (0, 0, 0))
     per_b = pl.BlockSpec((h, t, d), lambda bb: (bb, 0, 0))
     per_b_row = pl.BlockSpec((h, 1, t), lambda bb: (bb, 0, 0))
-    dq, dk, dv, dp2, du, dvb = pl.pallas_call(
+    p_spec = pl.BlockSpec((h, w, d), lambda bb: (0, 0, 0))
+    dq, dk, dv, dp_rev, du, dvb = pl.pallas_call(
         functools.partial(_fused1_bwd_kernel_fold, blk=blk, h=h, scale=scale,
                           interpret=interpret),
         grid=(b,),
         in_specs=[
             per_b, per_h_full, per_h_full, per_b, per_b,
-            pl.BlockSpec((h, 2 * t, d), lambda bb: (0, 0, 0)),
+            p_spec, p_spec,
             pl.BlockSpec((1, 1, t), lambda bb: (bb, 0, 0)),
             per_b, per_b_row, per_b_row,
         ],
         out_shape=(
-            jax.ShapeDtypeStruct((bh, t, d), jnp.float32),
-            jax.ShapeDtypeStruct((bh, t, d), jnp.float32),
-            jax.ShapeDtypeStruct((bh, t, d), jnp.float32),
-            jax.ShapeDtypeStruct((h, 2 * t, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, t, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, t, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, t, d), q.dtype),
+            jax.ShapeDtypeStruct((h, w, d), jnp.float32),
             jax.ShapeDtypeStruct((h, 1, d), jnp.float32),
             jax.ShapeDtypeStruct((h, 1, d), jnp.float32),
         ),
         out_specs=(
             per_b, per_b, per_b,
-            pl.BlockSpec((h, 2 * t, d), lambda bb: (0, 0, 0)),
+            pl.BlockSpec((h, w, d), lambda bb: (0, 0, 0)),
             pl.BlockSpec((h, 1, d), lambda bb: (0, 0, 0)),
             pl.BlockSpec((h, 1, d), lambda bb: (0, 0, 0)),
         ),
         interpret=interpret,
-    )(q, u2, vb2, k, v, p2, kbias3, do, lse, delta)
+    )(q, u2, vb2, k, v, p2, pwf, kbias3, do, lse, delta)
+    # un-reverse dp rows: dp[x] = dp_rev[w-2-x], dp[w-1] = 0
+    dp2 = jnp.concatenate(
+        [jnp.flip(dp_rev[:, : w - 1], axis=1),
+         jnp.zeros((h, 1, d), dp_rev.dtype)], axis=1)
     return dq, dk, dv, dp2, du, dvb
 
 

@@ -56,6 +56,10 @@ def main():
     import jax.numpy as jnp
     import flax.linen as nn
 
+    from espnet_tpu.utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from espnet_tpu.models.asr import ASRConfig, ASRModel
     from espnet_tpu.train.optim import build_optimizer
     from espnet_tpu.train.steps import TrainState, make_train_step
