@@ -14,9 +14,35 @@ Same API surface as nn.Dropout for the call sites we use: rate attribute,
 
 from __future__ import annotations
 
+import functools
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _masked_scale(x, key, q: int):
+    bits = jax.random.bits(key, x.shape, dtype=jnp.uint8)
+    scale = jnp.asarray(256.0 / (256 - q), x.dtype)
+    return jnp.where(bits >= q, x * scale, jnp.zeros_like(x))
+
+
+def _masked_scale_fwd(x, key, q):
+    # residual is just the KEY: the mask is regenerated in the backward
+    # pass instead of stored. With the rbg generator bits are nearly free
+    # to redraw, while a stored (B*T, d_ff) mask is ~30 MB of HBM
+    # write+read per FFN that autodiff would otherwise carry.
+    return _masked_scale(x, key, q), key
+
+
+def _masked_scale_bwd(q, key, g):
+    bits = jax.random.bits(key, g.shape, dtype=jnp.uint8)
+    scale = jnp.asarray(256.0 / (256 - q), g.dtype)
+    return (jnp.where(bits >= q, g * scale, jnp.zeros_like(g)), None)
+
+
+_masked_scale.defvjp(_masked_scale_fwd, _masked_scale_bwd)
 
 
 class FastDropout(nn.Module):
@@ -31,7 +57,4 @@ class FastDropout(nn.Module):
             return jnp.zeros_like(x)
         q = max(1, min(255, round(self.rate * 256)))
         rng = self.make_rng(self.rng_collection)
-        bits = jax.random.bits(rng, x.shape, dtype=jnp.uint8)
-        keep = bits >= q
-        scale = jnp.asarray(256.0 / (256 - q), x.dtype)
-        return jnp.where(keep, x * scale, jnp.zeros_like(x))
+        return _masked_scale(x, rng, q)
