@@ -24,33 +24,94 @@ from espnet_tpu.ops.dropout import FastDropout
 from espnet_tpu.ops.masks import attention_bias, make_valid_mask, subsequent_mask
 
 
+class _DenseParams(nn.Module):
+    """Parameter holder with nn.Dense's tree layout (kernel, bias).
+
+    Lets `PositionwiseFeedForward` share one parameter set between the
+    fused Pallas path and the unfused XLA path while keeping checkpoints
+    interchangeable with the previous nn.Dense formulation.
+    """
+
+    d_in: int
+    d_out: int
+    logical: Tuple[str, str]
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel",
+            nn.with_logical_partitioning(
+                nn.initializers.xavier_uniform(), self.logical
+            ),
+            (self.d_in, self.d_out),
+            jnp.float32,
+        )
+        self.bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.d_out,), jnp.float32
+        )
+
+
 class PositionwiseFeedForward(nn.Module):
+    """w1 -> activation -> dropout -> w2.
+
+    Reference: `espnet/nets/pytorch_backend/transformer/
+    positionwise_feed_forward.py:11`. On TPU the whole chain runs as ONE
+    fused Pallas kernel (`ops/pallas_ffn.py`) so no d_ff-wide tensor ever
+    touches HBM; elsewhere (or for token counts too small to tile) it
+    falls back to the unfused XLA formulation with identical parameters.
+    `fused=None` auto-selects by backend.
+    """
+
     d_model: int
     d_ff: int
     dropout_rate: float = 0.1
     activation: str = "relu"
     dtype: jnp.dtype = jnp.float32
+    fused: Optional[bool] = None
+    tile_m: int = 256
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        h = nn.Dense(
-            self.d_ff,
-            dtype=self.dtype,
-            name="w1",
-            kernel_init=nn.with_logical_partitioning(
-                nn.initializers.xavier_uniform(), ("embed", "mlp")
-            ),
-        )(x)
+        w1 = _DenseParams(self.d_model, self.d_ff, ("embed", "mlp"),
+                          name="w1")
+        w2 = _DenseParams(self.d_ff, self.d_model, ("mlp", "embed"),
+                          name="w2")
+        fused = self.fused
+        if fused is None:
+            fused = jax.default_backend() == "tpu"
+        m = 1
+        for s in x.shape[:-1]:
+            m *= s
+        tileable = (
+            self.d_model % 128 == 0
+            and self.d_ff % 128 == 0
+            and m >= self.tile_m
+        )
+        drop = self.dropout_rate if not deterministic else 0.0
+        if fused and tileable:
+            from espnet_tpu.ops.pallas_ffn import fused_ffn
+
+            seed = None
+            if drop > 0.0:
+                rng = self.make_rng("dropout")
+                seed = jax.lax.bitcast_convert_type(
+                    jax.random.bits(rng, (1,), jnp.uint32), jnp.int32
+                )
+            return fused_ffn(
+                x.astype(self.dtype),
+                w1.kernel.astype(self.dtype),
+                w1.bias,
+                w2.kernel.astype(self.dtype),
+                w2.bias,
+                seed,
+                drop_rate=drop,
+                activation=self.activation,
+                tile_m=self.tile_m,
+            )
+        h = x.astype(self.dtype) @ w1.kernel.astype(self.dtype) \
+            + w1.bias.astype(self.dtype)
         h = nn.relu(h) if self.activation == "relu" else nn.swish(h)
         h = FastDropout(self.dropout_rate)(h, deterministic=deterministic)
-        return nn.Dense(
-            self.d_model,
-            dtype=self.dtype,
-            name="w2",
-            kernel_init=nn.with_logical_partitioning(
-                nn.initializers.xavier_uniform(), ("mlp", "embed")
-            ),
-        )(h)
+        return h @ w2.kernel.astype(self.dtype) + w2.bias.astype(self.dtype)
 
 
 class TransformerEncoderLayer(nn.Module):

@@ -10,14 +10,20 @@ the whole chain VMEM-resident per (TM, d_ff) tile:
   forward : h = x@W1 + b1; a = drop(act(h)); y = a@W2 + b2 — one pass,
             nothing d_ff-wide ever touches HBM.
   backward: recomputes h/a from x (flash-style), regenerates the dropout
-            mask from the same per-tile PRNG seed, and accumulates
+            mask from the same per-tile counter hash, and accumulates
             dW1/db1/dW2/db2 across the grid run; dx streams out per tile.
 
-Dropout uses the Mosaic in-kernel PRNG (`pltpu.prng_seed` seeded with
-seed + tile index, identical in fwd and bwd) with the same 1/256-quantized
-keep rule as `ops.dropout.FastDropout`. Equivalent of the reference
-`PositionwiseFeedForward` (`espnet/nets/pytorch_backend/transformer/
-positionwise_feed_forward.py:11`) at kernel speed.
+Dropout bits come from a counter-based hash (murmur3 finalizer over the
+flat element index mixed with seed + tile id) written in plain jnp uint32
+ops, so the SAME bitstream is produced on real TPU (Mosaic) and in
+`interpret=True` CPU tests — no `pltpu.prng_*` dependency.  The keep rule
+is the 1/256-quantized one of `ops.dropout.FastDropout` (byte >= q keeps,
+scale 256/(256-q)); the stream itself necessarily differs from
+FastDropout's threefry stream, which is fine for dropout.
+
+Equivalent of the reference `PositionwiseFeedForward`
+(`espnet/nets/pytorch_backend/transformer/positionwise_feed_forward.py:11`)
+at kernel speed.
 """
 
 from __future__ import annotations
@@ -47,16 +53,30 @@ def _act_grad(h, activation: str):
     raise ValueError(f"unsupported activation {activation!r}")
 
 
-def _keep_mask(shape, q: int, interpret: bool):
-    """Keep mask from the in-kernel PRNG (caller must have seeded it)."""
-    bits = pltpu.prng_random_bits(shape)  # int32-ish random bits
-    byte = jax.lax.shift_right_logical(
-        bits.astype(jnp.uint32), jnp.uint32(24))
-    return byte >= jnp.uint32(q)
+def _keep_mask(shape, seed_i32, pid, q: int):
+    """Per-element keep mask from a counter hash; identical fwd/bwd.
+
+    Element (r, c) of tile `pid` hashes flat counter r*C + c together with
+    (seed + pid) through the murmur3 finalizer; the top byte is compared
+    against q like FastDropout.  Pure jnp uint32 ops -> works both under
+    Mosaic and in interpret mode with bit-identical results.
+    """
+    r = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    c = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    # modulo-2^32 convert (scalar bitcast isn't lowerable in Mosaic)
+    seed = (seed_i32 + pid).astype(jnp.uint32)
+    x = r * jnp.uint32(shape[1]) + c
+    x = x + seed * jnp.uint32(0x9E3779B9)
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    return (x >> 24) >= jnp.uint32(q)
 
 
 def _ffn_fwd_kernel(seed_ref, x_ref, k1_ref, b1_ref, k2_ref, b2_ref, y_ref,
-                    *, q: int, activation: str, interpret: bool):
+                    *, q: int, activation: str):
     pid = pl.program_id(0)
     x = x_ref[...]
     h = jax.lax.dot_general(
@@ -65,8 +85,7 @@ def _ffn_fwd_kernel(seed_ref, x_ref, k1_ref, b1_ref, k2_ref, b2_ref, y_ref,
     ) + b1_ref[...].astype(jnp.float32)
     a = _act(h, activation)
     if q > 0:
-        pltpu.prng_seed(seed_ref[0] + pid)
-        keep = _keep_mask(a.shape, q, interpret)
+        keep = _keep_mask(a.shape, seed_ref[0], pid, q)
         a = jnp.where(keep, a * (256.0 / (256 - q)), 0.0)
     y = jax.lax.dot_general(
         a.astype(x.dtype), k2_ref[...], (((1,), (0,)), ((), ())),
@@ -77,7 +96,7 @@ def _ffn_fwd_kernel(seed_ref, x_ref, k1_ref, b1_ref, k2_ref, b2_ref, y_ref,
 
 def _ffn_bwd_kernel(seed_ref, x_ref, k1_ref, b1_ref, k2_ref, dy_ref,
                     dx_ref, dk1_ref, db1_ref, dk2_ref, db2_ref,
-                    *, q: int, activation: str, interpret: bool):
+                    *, q: int, activation: str):
     pid = pl.program_id(0)
     x = x_ref[...]
     k1 = k1_ref[...]
@@ -89,8 +108,7 @@ def _ffn_bwd_kernel(seed_ref, x_ref, k1_ref, b1_ref, k2_ref, dy_ref,
     ) + b1_ref[...].astype(jnp.float32)
     a = _act(h, activation)
     if q > 0:
-        pltpu.prng_seed(seed_ref[0] + pid)
-        keep = _keep_mask(a.shape, q, interpret)
+        keep = _keep_mask(a.shape, seed_ref[0], pid, q)
         scale = 256.0 / (256 - q)
         a = jnp.where(keep, a * scale, 0.0)
     da = jax.lax.dot_general(
@@ -155,8 +173,7 @@ def _fused_ffn_fwd(x, k1, b1, k2, b2, seed, q, activation, tm, interpret):
     nm = xp.shape[0] // tm
     grid = (nm,)
     y = pl.pallas_call(
-        functools.partial(_ffn_fwd_kernel, q=q, activation=activation,
-                          interpret=interpret),
+        functools.partial(_ffn_fwd_kernel, q=q, activation=activation),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -170,19 +187,18 @@ def _fused_ffn_fwd(x, k1, b1, k2, b2, seed, q, activation, tm, interpret):
         out_specs=pl.BlockSpec((tm, d), lambda i: (i, 0)),
         interpret=interpret,
     )(seed, xp, k1, b1.reshape(1, dff), k2, b2.reshape(1, d))
-    return y[:m0], (x, k1, b1, k2, seed)
+    return y[:m0], (x, k1, b1, k2, b2, seed)
 
 
 def _fused_ffn_bwd(q, activation, tm, interpret, res, g):
-    x, k1, b1, k2, seed = res
+    x, k1, b1, k2, b2, seed = res
     m, d = x.shape
     dff = k1.shape[1]
     xp, m0 = _pad_rows(x, tm)
     gp, _ = _pad_rows(g.astype(x.dtype), tm)
     nm = xp.shape[0] // tm
     dx, dk1, db1, dk2, db2 = pl.pallas_call(
-        functools.partial(_ffn_bwd_kernel, q=q, activation=activation,
-                          interpret=interpret),
+        functools.partial(_ffn_bwd_kernel, q=q, activation=activation),
         grid=(nm,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -209,7 +225,7 @@ def _fused_ffn_bwd(q, activation, tm, interpret, res, g):
         interpret=interpret,
     )(seed, xp, k1, b1.reshape(1, dff), k2, gp)
     return (dx[:m0], dk1.astype(k1.dtype), db1.reshape(dff).astype(b1.dtype),
-            dk2.astype(k2.dtype), db2.reshape(d).astype(b1.dtype), None)
+            dk2.astype(k2.dtype), db2.reshape(d).astype(b2.dtype), None)
 
 
 _fused_ffn_core.defvjp(_fused_ffn_fwd, _fused_ffn_bwd)
@@ -221,7 +237,7 @@ def fused_ffn(
     b1: jnp.ndarray,
     k2: jnp.ndarray,
     b2: jnp.ndarray,
-    seed: jnp.ndarray,
+    seed: jnp.ndarray | None = None,
     drop_rate: float = 0.0,
     activation: str = "swish",
     tile_m: int = 256,
@@ -230,8 +246,9 @@ def fused_ffn(
     """Fused FFN over flattened tokens.
 
     x: (..., d); k1 (d, dff); b1 (dff,); k2 (dff, d); b2 (d,);
-    seed: (1,) int32 (vary per step/layer for dropout); drop_rate
-    quantized to 1/256 steps like `FastDropout`. Returns (..., d).
+    seed: (1,) int32 (vary per step/layer for dropout; may be None when
+    drop_rate == 0); drop_rate quantized to 1/256 steps like `FastDropout`.
+    Returns (..., d).
 
     tile_m: rows per grid step, SHARED by forward and backward (the
     dropout mask is regenerated per tile from seed + tile index, so the
@@ -242,9 +259,38 @@ def fused_ffn(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     q = 0 if drop_rate <= 0.0 else max(1, min(255, round(drop_rate * 256)))
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
     lead = x.shape[:-1]
     d = x.shape[-1]
     x2 = x.reshape(-1, d)
     y = _fused_ffn_core(x2, k1, b1, k2, b2, seed.astype(jnp.int32),
                         q, activation, tile_m, interpret)
     return y.reshape(*lead, d)
+
+
+def ffn_reference(x, k1, b1, k2, b2, seed=None, drop_rate: float = 0.0,
+                  activation: str = "swish", tile_m: int = 256):
+    """Unfused jnp reference with the SAME dropout bitstream as the kernel.
+
+    Used by parity tests; mirrors the tile partitioning so masks match.
+    """
+    lead = x.shape[:-1]
+    d = x.shape[-1]
+    x2 = x.reshape(-1, d)
+    h = x2.astype(jnp.float32) @ k1.astype(jnp.float32) + b1.astype(
+        jnp.float32)
+    a = _act(h, activation)
+    q = 0 if drop_rate <= 0.0 else max(1, min(255, round(drop_rate * 256)))
+    if q > 0:
+        xp, m0 = _pad_rows(a, tile_m)
+        keeps = []
+        for pid in range(xp.shape[0] // tile_m):
+            keeps.append(_keep_mask((tile_m, a.shape[1]),
+                                    seed.astype(jnp.int32)[0],
+                                    jnp.int32(pid), q))
+        keep = jnp.concatenate(keeps, axis=0)[:a.shape[0]]
+        a = jnp.where(keep, a * (256.0 / (256 - q)), 0.0)
+    y = a.astype(x.dtype).astype(jnp.float32) @ k2.astype(jnp.float32) \
+        + b2.astype(jnp.float32)
+    return y.astype(x.dtype).reshape(*lead, d)

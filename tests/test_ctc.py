@@ -131,3 +131,38 @@ def test_ctc_loss_reduction_and_jit():
     val = fn(jnp.asarray(logits))
     ref, _ = _torch_ref(logits, labels, ilens, llens)
     np.testing.assert_allclose(float(val), ref.sum() / len(ref), atol=1e-4, rtol=1e-4)
+
+
+def test_ctc_logits_bf16_grad_matches_f32():
+    """The bf16 branch of `_ctc_logits_bwd` (ADVICE r3): bf16-logits
+    gradients must track the f32 path at bf16-appropriate tolerance."""
+    from espnet_tpu.ops.ctc import ctc_loss_from_logits
+
+    logits, labels, ilens, llens = _make_case(b=3, t=24, v=16, u=6, seed=7)
+    args = (jnp.asarray(labels), jnp.asarray(ilens), jnp.asarray(llens))
+
+    def f(lg):
+        return jnp.sum(ctc_loss_from_logits(lg, *args))
+
+    g32 = jax.grad(f)(jnp.asarray(logits))
+    g16 = jax.grad(lambda lg: f(lg.astype(jnp.bfloat16)))(jnp.asarray(logits))
+    assert g32.dtype == jnp.float32
+    # loss values agree to bf16 emission precision
+    l32 = float(f(jnp.asarray(logits)))
+    l16 = float(f(jnp.asarray(logits).astype(jnp.bfloat16)))
+    assert abs(l32 - l16) / abs(l32) < 2e-2
+    np.testing.assert_allclose(
+        np.asarray(g16, np.float32), np.asarray(g32), atol=2e-2, rtol=2e-1
+    )
+
+
+def test_ctc_logits_bf16_bwd_dtype_and_feasibility():
+    from espnet_tpu.ops.ctc import ctc_loss_from_logits
+
+    logits, labels, ilens, llens = _make_case(seed=9)
+    lg16 = jnp.asarray(logits).astype(jnp.bfloat16)
+    g = jax.grad(lambda lg: jnp.sum(ctc_loss_from_logits(
+        lg, jnp.asarray(labels), jnp.asarray(ilens), jnp.asarray(llens)
+    )))(lg16)
+    assert g.dtype == jnp.bfloat16
+    assert bool(jnp.all(jnp.isfinite(g.astype(jnp.float32))))

@@ -33,3 +33,45 @@ def test_rate_and_unbiasedness():
     scale = 256.0 / (256 - q)
     kept = y[y != 0]
     np.testing.assert_allclose(kept, scale, rtol=1e-6)
+
+
+def test_recompute_vjp_mask_matches_forward():
+    """The backward regenerates the SAME mask from the stored key: the
+    gradient is exactly 0 where the forward output is 0, and exactly the
+    keep-scale where it is not (the one property the recompute-VJP could
+    silently break)."""
+    rate = 0.3
+    x = jnp.asarray(np.random.RandomState(1).randn(64, 256), jnp.float32)
+    d = FastDropout(rate)
+    rngs = {"dropout": jax.random.PRNGKey(42)}
+
+    y = d.apply({}, x, False, rngs=rngs)
+    g = jax.grad(lambda x_: jnp.sum(d.apply({}, x_, False, rngs=rngs)))(x)
+
+    q = round(rate * 256)
+    scale = 256.0 / (256 - q)
+    y_np, g_np = np.asarray(y), np.asarray(g)
+    dropped = y_np == 0.0
+    # grad exactly zero where output was dropped...
+    np.testing.assert_array_equal(g_np[dropped], 0.0)
+    # ...and exactly the keep scale where it was not.
+    np.testing.assert_allclose(g_np[~dropped], scale, rtol=1e-6)
+
+
+def test_recompute_vjp_matches_autodiff_oracle():
+    """Custom VJP == autodiff through the (mask-storing) plain formulation."""
+    from espnet_tpu.ops.dropout import _masked_scale
+
+    q = 77
+    x = jnp.asarray(np.random.RandomState(2).randn(32, 128), jnp.float32)
+    key = jax.random.PRNGKey(7)
+
+    def plain(x_):
+        bits = jax.random.bits(key, x_.shape, dtype=jnp.uint8)
+        scale = jnp.asarray(256.0 / (256 - q), x_.dtype)
+        return jnp.where(bits >= q, x_ * scale, jnp.zeros_like(x_))
+
+    ct = jnp.asarray(np.random.RandomState(3).randn(32, 128), jnp.float32)
+    g_custom = jax.vjp(lambda x_: _masked_scale(x_, key, q), x)[1](ct)[0]
+    g_auto = jax.vjp(plain, x)[1](ct)[0]
+    np.testing.assert_array_equal(np.asarray(g_custom), np.asarray(g_auto))
