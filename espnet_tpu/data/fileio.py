@@ -59,7 +59,25 @@ def write_shape_file(path, shapes: Dict[str, Tuple[int, ...]]) -> None:
 
 
 def wav_duration(path) -> float:
-    """Duration in seconds from the WAV header (no sample decode)."""
+    """Duration in seconds from the header (no sample decode).
+
+    Handles RIFF WAV via the stdlib and NIST SPHERE via its ASCII header
+    (sample_count/sample_rate fields), so recipe duration filtering works
+    on LDC-style .sph data dirs too."""
+    with open(path, "rb") as fh:
+        magic = fh.read(8)
+    if magic.startswith(b"NIST_1A"):
+        with open(path, "rb") as fh:
+            fh.readline()
+            header_size = int(fh.readline().strip())
+            fh.seek(0)
+            header = fh.read(header_size).decode("ascii", errors="replace")
+        fields = {}
+        for line in header.splitlines()[2:]:
+            parts = line.split(None, 2)
+            if len(parts) == 3 and parts[1].startswith("-"):
+                fields[parts[0]] = parts[2]
+        return int(fields["sample_count"]) / float(fields["sample_rate"])
     import wave
 
     with wave.open(str(path), "rb") as f:

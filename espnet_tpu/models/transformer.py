@@ -50,6 +50,42 @@ class _DenseParams(nn.Module):
         )
 
 
+class _LNParams(nn.Module):
+    """nn.LayerNorm-compatible parameter holder ({scale, bias})."""
+
+    d: int
+
+    def setup(self):
+        self.scale = self.param("scale", nn.initializers.ones_init(),
+                                (self.d,), jnp.float32)
+        self.bias = self.param("bias", nn.initializers.zeros_init(),
+                               (self.d,), jnp.float32)
+
+
+class _FFNParams(nn.Module):
+    """PositionwiseFeedForward-compatible holder (w1/w2 kernel+bias)."""
+
+    d_model: int
+    d_ff: int
+
+    def setup(self):
+        self.w1 = _DenseParams(self.d_model, self.d_ff, ("embed", "mlp"))
+        self.w2 = _DenseParams(self.d_ff, self.d_model, ("mlp", "embed"))
+
+
+def _ffn_tileable(x, d_model: int, d_ff: int, tile_m: int) -> bool:
+    m = 1
+    for s in x.shape[:-1]:
+        m *= s
+    return d_model % 128 == 0 and d_ff % 128 == 0 and m >= tile_m
+
+
+def _dropout_seeds(mod: nn.Module, n: int):
+    rng = mod.make_rng("dropout")
+    return jax.lax.bitcast_convert_type(
+        jax.random.bits(rng, (n,), jnp.uint32), jnp.int32)
+
+
 class PositionwiseFeedForward(nn.Module):
     """w1 -> activation -> dropout -> w2.
 
@@ -121,6 +157,7 @@ class TransformerEncoderLayer(nn.Module):
     dropout_rate: float = 0.1
     attention_dropout_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    fused_ffn: Optional[bool] = None  # None = auto (TPU)
 
     @nn.compact
     def __call__(self, x, bias, deterministic: bool = True):
@@ -129,6 +166,22 @@ class TransformerEncoderLayer(nn.Module):
         h = MultiHeadAttention(self.num_heads, self.d_model, self.dtype,
                                name="self_attn")(h, h, h, bias)
         x = x + drop(h, deterministic=deterministic)
+        fused = self.fused_ffn
+        if fused is None:
+            fused = jax.default_backend() == "tpu"
+        if fused and _ffn_tileable(x, self.d_model, self.d_ff, 256):
+            from espnet_tpu.ops.pallas_ffn import fused_prenorm_ffn
+
+            ln = _LNParams(self.d_model, name="norm2")
+            fp = _FFNParams(self.d_model, self.d_ff, name="ff")
+            rate = self.dropout_rate if not deterministic else 0.0
+            seeds = _dropout_seeds(self, 2) if rate > 0.0 else None
+            return fused_prenorm_ffn(
+                x.astype(self.dtype), ln.scale, ln.bias,
+                fp.w1.kernel.astype(self.dtype), fp.w1.bias,
+                fp.w2.kernel.astype(self.dtype), fp.w2.bias,
+                seeds, drop_rate=rate, activation="relu",
+                residual_scale=1.0)
         h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         h = PositionwiseFeedForward(self.d_model, self.d_ff, self.dropout_rate,
                                     dtype=self.dtype, name="ff")(h, deterministic)

@@ -53,6 +53,29 @@ def _act_grad(h, activation: str):
     raise ValueError(f"unsupported activation {activation!r}")
 
 
+_LN_EPS = 1e-6
+
+
+def _ln_fwd(x, scale, bias):
+    """Row LayerNorm in f32. Returns (y, xhat, inv_std) for reuse in bwd."""
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    xc = x - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + _LN_EPS)
+    xhat = xc * inv
+    return xhat * scale + bias, xhat, inv
+
+
+def _ln_bwd(dy, xhat, inv, scale):
+    """d x for y = xhat*scale+bias; plus (dscale, dbias) partial sums."""
+    dxhat = dy * scale
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx = (dxhat - m1 - xhat * m2) * inv
+    return dx, jnp.sum(dy * xhat, axis=0, keepdims=True), \
+        jnp.sum(dy, axis=0, keepdims=True)
+
+
 def _keep_mask(shape, seed_i32, pid, q: int):
     """Per-element keep mask from a counter hash; identical fwd/bwd.
 
@@ -293,4 +316,256 @@ def ffn_reference(x, k1, b1, k2, b2, seed=None, drop_rate: float = 0.0,
         a = jnp.where(keep, a * (256.0 / (256 - q)), 0.0)
     y = a.astype(x.dtype).astype(jnp.float32) @ k2.astype(jnp.float32) \
         + b2.astype(jnp.float32)
+    return y.astype(x.dtype).reshape(*lead, d)
+
+
+# ---------------------------------------------------------------------------
+# Pre-norm residual variant: y = x + s * drop2( FFN_drop1( LN(x) ) )
+# Absorbs the conformer/transformer block's pre-LayerNorm, both dropouts,
+# the macaron 1/2 scale and the residual add into the same kernel, so the
+# block's FFN section costs exactly one read of x and one write of y.
+# ---------------------------------------------------------------------------
+
+
+def _pffn_fwd_kernel(seed_ref, x_ref, lns_ref, lnb_ref, k1_ref, b1_ref,
+                     k2_ref, b2_ref, y_ref,
+                     *, q: int, activation: str, res_scale: float):
+    pid = pl.program_id(0)
+    x = x_ref[...]
+    xn, _, _ = _ln_fwd(x.astype(jnp.float32), lns_ref[...], lnb_ref[...])
+    h = jax.lax.dot_general(
+        xn.astype(x.dtype), k1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[...].astype(jnp.float32)
+    a = _act(h, activation)
+    if q > 0:
+        keep = _keep_mask(a.shape, seed_ref[0], pid, q)
+        a = jnp.where(keep, a * (256.0 / (256 - q)), 0.0)
+    z = jax.lax.dot_general(
+        a.astype(x.dtype), k2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b2_ref[...].astype(jnp.float32)
+    if q > 0:
+        keep2 = _keep_mask(z.shape, seed_ref[1], pid, q)
+        z = jnp.where(keep2, z * (256.0 / (256 - q)), 0.0)
+    y_ref[...] = (x.astype(jnp.float32) + res_scale * z).astype(y_ref.dtype)
+
+
+def _pffn_bwd_kernel(seed_ref, x_ref, lns_ref, lnb_ref, k1_ref, b1_ref,
+                     k2_ref, g_ref,
+                     dx_ref, dlns_ref, dlnb_ref, dk1_ref, db1_ref, dk2_ref,
+                     db2_ref,
+                     *, q: int, activation: str, res_scale: float):
+    pid = pl.program_id(0)
+    x = x_ref[...]
+    k1 = k1_ref[...]
+    k2 = k2_ref[...]
+    lns = lns_ref[...]
+    g = g_ref[...].astype(jnp.float32)
+    xn, xhat, inv = _ln_fwd(x.astype(jnp.float32), lns, lnb_ref[...])
+    xn_b = xn.astype(x.dtype)
+    h = jax.lax.dot_general(
+        xn_b, k1, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[...].astype(jnp.float32)
+    a = _act(h, activation)
+    if q > 0:
+        keep = _keep_mask(a.shape, seed_ref[0], pid, q)
+        scale = 256.0 / (256 - q)
+        a = jnp.where(keep, a * scale, 0.0)
+    dz = g * res_scale
+    if q > 0:
+        keep2 = _keep_mask(dz.shape, seed_ref[1], pid, q)
+        dz = jnp.where(keep2, dz * scale, 0.0)
+    db2_t = jnp.sum(dz, axis=0, keepdims=True)
+    dz_b = dz.astype(x.dtype)
+    da = jax.lax.dot_general(
+        dz_b, k2, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    a_b = a.astype(x.dtype)
+    dk2_t = jax.lax.dot_general(
+        a_b, dz_b, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if q > 0:
+        da = jnp.where(keep, da * scale, 0.0)
+    dh = da * _act_grad(h, activation)
+    dh_b = dh.astype(x.dtype)
+    dxn = jax.lax.dot_general(
+        dh_b, k1, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dk1_t = jax.lax.dot_general(
+        xn_b, dh_b, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    db1_t = jnp.sum(dh, axis=0, keepdims=True)
+    dx_ln, dlns_t, dlnb_t = _ln_bwd(dxn, xhat, inv, lns)
+    dx_ref[...] = (g + dx_ln).astype(dx_ref.dtype)
+
+    @pl.when(pid == 0)
+    def _():
+        dlns_ref[...] = dlns_t
+        dlnb_ref[...] = dlnb_t
+        dk1_ref[...] = dk1_t
+        db1_ref[...] = db1_t
+        dk2_ref[...] = dk2_t
+        db2_ref[...] = db2_t
+
+    @pl.when(pid != 0)
+    def _():
+        dlns_ref[...] += dlns_t
+        dlnb_ref[...] += dlnb_t
+        dk1_ref[...] += dk1_t
+        db1_ref[...] += db1_t
+        dk2_ref[...] += dk2_t
+        db2_ref[...] += db2_t
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+def _pffn_core(x, lns, lnb, k1, b1, k2, b2, seeds, q: int, activation: str,
+               res_scale: float, tm: int, interpret: bool):
+    y, _ = _pffn_fwd(x, lns, lnb, k1, b1, k2, b2, seeds, q, activation,
+                     res_scale, tm, interpret)
+    return y
+
+
+def _pffn_specs(tm, d, dff):
+    row = lambda n: pl.BlockSpec((1, n), lambda i: (0, 0))
+    return [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((tm, d), lambda i: (i, 0)),
+        row(d), row(d),
+        pl.BlockSpec((d, dff), lambda i: (0, 0)),
+        row(dff),
+        pl.BlockSpec((dff, d), lambda i: (0, 0)),
+    ]
+
+
+def _pffn_fwd(x, lns, lnb, k1, b1, k2, b2, seeds, q, activation, res_scale,
+              tm, interpret):
+    m, d = x.shape
+    dff = k1.shape[1]
+    xp, m0 = _pad_rows(x, tm)
+    nm = xp.shape[0] // tm
+    y = pl.pallas_call(
+        functools.partial(_pffn_fwd_kernel, q=q, activation=activation,
+                          res_scale=res_scale),
+        grid=(nm,),
+        in_specs=_pffn_specs(tm, d, dff) + [
+            pl.BlockSpec((1, d), lambda i: (0, 0))],
+        out_shape=jax.ShapeDtypeStruct((xp.shape[0], d), x.dtype),
+        out_specs=pl.BlockSpec((tm, d), lambda i: (i, 0)),
+        interpret=interpret,
+    )(seeds, xp, lns.reshape(1, d), lnb.reshape(1, d), k1,
+      b1.reshape(1, dff), k2, b2.reshape(1, d))
+    return y[:m0], (x, lns, lnb, k1, b1, k2, b2, seeds)
+
+
+def _pffn_bwd(q, activation, res_scale, tm, interpret, res, g):
+    x, lns, lnb, k1, b1, k2, b2, seeds = res
+    m, d = x.shape
+    dff = k1.shape[1]
+    xp, m0 = _pad_rows(x, tm)
+    gp, _ = _pad_rows(g.astype(x.dtype), tm)
+    nm = xp.shape[0] // tm
+    row = lambda n: pl.BlockSpec((1, n), lambda i: (0, 0))
+    outs = pl.pallas_call(
+        functools.partial(_pffn_bwd_kernel, q=q, activation=activation,
+                          res_scale=res_scale),
+        grid=(nm,),
+        in_specs=_pffn_specs(tm, d, dff) + [
+            pl.BlockSpec((tm, d), lambda i: (i, 0))],
+        out_shape=(
+            jax.ShapeDtypeStruct((xp.shape[0], d), x.dtype),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+            jax.ShapeDtypeStruct((d, dff), jnp.float32),
+            jax.ShapeDtypeStruct((1, dff), jnp.float32),
+            jax.ShapeDtypeStruct((dff, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+        ),
+        out_specs=(
+            pl.BlockSpec((tm, d), lambda i: (i, 0)),
+            row(d), row(d),
+            pl.BlockSpec((d, dff), lambda i: (0, 0)), row(dff),
+            pl.BlockSpec((dff, d), lambda i: (0, 0)), row(d),
+        ),
+        interpret=interpret,
+    )(seeds, xp, lns.reshape(1, d), lnb.reshape(1, d), k1,
+      b1.reshape(1, dff), k2, gp)
+    dx, dlns, dlnb, dk1, db1, dk2, db2 = outs
+    return (dx[:m0], dlns.reshape(d).astype(lns.dtype),
+            dlnb.reshape(d).astype(lnb.dtype), dk1.astype(k1.dtype),
+            db1.reshape(dff).astype(b1.dtype), dk2.astype(k2.dtype),
+            db2.reshape(d).astype(b2.dtype), None)
+
+
+_pffn_core.defvjp(_pffn_fwd, _pffn_bwd)
+
+
+def fused_prenorm_ffn(
+    x: jnp.ndarray,
+    ln_scale: jnp.ndarray,
+    ln_bias: jnp.ndarray,
+    k1: jnp.ndarray,
+    b1: jnp.ndarray,
+    k2: jnp.ndarray,
+    b2: jnp.ndarray,
+    seeds: jnp.ndarray | None = None,
+    drop_rate: float = 0.0,
+    activation: str = "swish",
+    residual_scale: float = 1.0,
+    tile_m: int = 256,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """y = x + residual_scale * drop(FFN_drop(LN(x))) in one kernel.
+
+    The pre-norm FFN sub-block of a conformer (residual_scale=0.5, swish)
+    or transformer (1.0, relu) encoder layer. seeds: (2,) int32 — stream 0
+    for the in-FFN dropout, stream 1 for the output dropout; both use the
+    FastDropout 1/256-quantized keep rule. LayerNorm parameter gradients
+    are exact.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    q = 0 if drop_rate <= 0.0 else max(1, min(255, round(drop_rate * 256)))
+    if seeds is None:
+        seeds = jnp.zeros((2,), jnp.int32)
+    lead = x.shape[:-1]
+    d = x.shape[-1]
+    x2 = x.reshape(-1, d)
+    y = _pffn_core(x2, ln_scale, ln_bias, k1, b1, k2, b2,
+                   seeds.astype(jnp.int32), q, activation,
+                   float(residual_scale), tile_m, interpret)
+    return y.reshape(*lead, d)
+
+
+def prenorm_ffn_reference(x, ln_scale, ln_bias, k1, b1, k2, b2, seeds=None,
+                          drop_rate: float = 0.0, activation: str = "swish",
+                          residual_scale: float = 1.0, tile_m: int = 256):
+    """Unfused jnp reference with the kernel's dropout bitstreams."""
+    lead = x.shape[:-1]
+    d = x.shape[-1]
+    x2 = x.reshape(-1, d).astype(jnp.float32)
+    xn, _, _ = _ln_fwd(x2, ln_scale, ln_bias)
+    h = xn @ k1.astype(jnp.float32) + b1
+    a = _act(h, activation)
+    q = 0 if drop_rate <= 0.0 else max(1, min(255, round(drop_rate * 256)))
+
+    def tiled_mask(shape, seed):
+        mp = -(-shape[0] // tile_m) * tile_m
+        keeps = [_keep_mask((tile_m, shape[1]), seed, jnp.int32(i), q)
+                 for i in range(mp // tile_m)]
+        return jnp.concatenate(keeps, axis=0)[:shape[0]]
+
+    if q > 0:
+        keep = tiled_mask(a.shape, seeds.astype(jnp.int32)[0])
+        a = jnp.where(keep, a * (256.0 / (256 - q)), 0.0)
+    z = a @ k2.astype(jnp.float32) + b2
+    if q > 0:
+        keep2 = tiled_mask(z.shape, seeds.astype(jnp.int32)[1])
+        z = jnp.where(keep2, z * (256.0 / (256 - q)), 0.0)
+    y = x2 + residual_scale * z
     return y.astype(x.dtype).reshape(*lead, d)

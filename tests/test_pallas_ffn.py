@@ -170,3 +170,100 @@ def test_bf16_grad_close_to_f32():
         np.testing.assert_allclose(np.asarray(a, np.float32),
                                    np.asarray(b, np.float32),
                                    rtol=0.1, atol=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Pre-norm residual variant
+# ---------------------------------------------------------------------------
+
+
+def _pffn_case(m=300, d=128, dff=256, seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 7)
+    x = jax.random.normal(ks[0], (m, d))
+    lns = 1.0 + 0.1 * jax.random.normal(ks[1], (d,))
+    lnb = 0.1 * jax.random.normal(ks[2], (d,))
+    k1 = jax.random.normal(ks[3], (d, dff)) * 0.05
+    b1 = 0.1 * jax.random.normal(ks[4], (dff,))
+    k2 = jax.random.normal(ks[5], (dff, d)) * 0.05
+    b2 = 0.1 * jax.random.normal(ks[6], (d,))
+    return x, lns, lnb, k1, b1, k2, b2
+
+
+@pytest.mark.parametrize("res_scale", [1.0, 0.5])
+def test_prenorm_forward_and_grads(res_scale):
+    from espnet_tpu.ops.pallas_ffn import (
+        fused_prenorm_ffn, prenorm_ffn_reference)
+
+    x, lns, lnb, k1, b1, k2, b2 = _pffn_case(m=520)
+    args = (x, lns, lnb, k1, b1, k2, b2)
+    y = fused_prenorm_ffn(*args, residual_scale=res_scale, interpret=True)
+    ref = prenorm_ffn_reference(*args, residual_scale=res_scale)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    w = jnp.cos(jnp.arange(x.size)).reshape(x.shape)
+
+    def lf(*a):
+        return jnp.sum(fused_prenorm_ffn(
+            *a, residual_scale=res_scale, interpret=True) * w)
+
+    def lr(*a):
+        return jnp.sum(prenorm_ffn_reference(
+            *a, residual_scale=res_scale) * w)
+
+    gf = jax.grad(lf, argnums=tuple(range(7)))(*args)
+    gr = jax.grad(lr, argnums=tuple(range(7)))(*args)
+    for a, b, n in zip(gf, gr, ["dx", "dlns", "dlnb", "dk1", "db1", "dk2",
+                                "db2"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=4e-4, atol=4e-4, err_msg=n)
+
+
+def test_prenorm_matches_module_chain():
+    """Kernel == nn.LayerNorm -> PositionwiseFeedForward -> +residual."""
+    import flax.linen as nn
+
+    from espnet_tpu.models.transformer import PositionwiseFeedForward
+    from espnet_tpu.ops.pallas_ffn import fused_prenorm_ffn
+
+    x, lns, lnb, k1, b1, k2, b2 = _pffn_case(m=256)
+    ffn = PositionwiseFeedForward(128, 256, 0.0, activation="swish",
+                                  fused=False)
+    params = {"params": {"w1": {"kernel": k1, "bias": b1},
+                         "w2": {"kernel": k2, "bias": b2}}}
+    ln = nn.LayerNorm()
+    lnp = {"params": {"scale": lns, "bias": lnb}}
+    ref = x + 0.5 * ffn.apply(params, ln.apply(lnp, x), True)
+    y = fused_prenorm_ffn(x, lns, lnb, k1, b1, k2, b2,
+                          residual_scale=0.5, interpret=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_prenorm_dropout_two_streams():
+    from espnet_tpu.ops.pallas_ffn import (
+        fused_prenorm_ffn, prenorm_ffn_reference)
+
+    x, lns, lnb, k1, b1, k2, b2 = _pffn_case(m=512, seed=3)
+    seeds = jnp.asarray([11, 12], jnp.int32)
+    args = (x, lns, lnb, k1, b1, k2, b2)
+    y = fused_prenorm_ffn(*args, seeds=seeds, drop_rate=0.2, interpret=True)
+    ref = prenorm_ffn_reference(*args, seeds=seeds, drop_rate=0.2)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    def lf(x_, k1_):
+        return jnp.sum(fused_prenorm_ffn(
+            x_, lns, lnb, k1_, b1, k2, b2, seeds=seeds, drop_rate=0.2,
+            interpret=True) ** 2)
+
+    def lr(x_, k1_):
+        return jnp.sum(prenorm_ffn_reference(
+            x_, lns, lnb, k1_, b1, k2, b2, seeds=seeds,
+            drop_rate=0.2) ** 2)
+
+    gf = jax.grad(lf, argnums=(0, 1))(x, k1)
+    gr = jax.grad(lr, argnums=(0, 1))(x, k1)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=4e-4, atol=4e-4)
