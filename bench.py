@@ -136,10 +136,10 @@ def main() -> None:
         scan_encoder_layers=args.scan_layers,
     )
     model = ASRModel(cfg)
-    tx = build_optimizer("adam", lr=2e-3, schedule="warmuplr",
-                         warmup_steps=25000, d_model=cfg.d_model,
-                         flatten=True)
-    train_step = make_train_step(model, tx)
+    # fused_adam + flat params: the generic optax chain costs ~10.5 ms on
+    # this model; the one-pass flat update is 3.7 ms (see train/optim.py)
+    tx = build_optimizer("fused_adam", lr=2e-3, schedule="warmuplr",
+                         warmup_steps=25000, d_model=cfg.d_model)
 
     b, secs, u = args.batch, args.secs, 40
     samples = int(secs * FS)
@@ -164,8 +164,12 @@ def main() -> None:
     )
     variables = jax.block_until_ready(variables)
     _log(f"init done in {time.perf_counter() - t0:.1f}s")
+    from jax.flatten_util import ravel_pytree
+
+    flat_params, unravel = ravel_pytree(variables["params"])
+    train_step = make_train_step(model, tx, unravel=unravel)
     state = TrainState.create(
-        variables["params"], tx,
+        flat_params, tx,
         {k: v for k, v in variables.items() if k != "params"},
     )
     device_batch = {
@@ -231,7 +235,7 @@ def main() -> None:
         from espnet_tpu.decode.asr_inference import Speech2Text
 
         s2t = Speech2Text(
-            model, state.params,
+            model, unravel(state.params),
             extra_vars=state.extra_vars,
             beam_size=10, ctc_weight=0.3, max_steps=dec_steps,
         )

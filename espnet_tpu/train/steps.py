@@ -54,6 +54,7 @@ def make_train_step(
     ),
     donate: bool = True,
     accum_steps: int = 1,
+    unravel: Optional[Callable] = None,
 ) -> Callable:
     """Returns train_step(state, batch, rng) -> (state, stats).
 
@@ -64,9 +65,20 @@ def make_train_step(
     peak activation memory is that of one micro-batch), and one optimizer
     update is applied. With a per-example-mean loss this is numerically the
     gradient of the full batch, so accum=4 at B and accum=1 at B match.
+
+    ``unravel`` enables FLAT-parameter mode: ``state.params`` is the f32
+    vector from ``jax.flatten_util.ravel_pytree`` and ``unravel`` maps it
+    back to the module tree inside the loss. Gradients then arrive flat
+    (the unravel transpose), and with a `FlatAdam` tx the whole
+    clip+nan-skip+adam update is 4 fused vector passes instead of the
+    optax flatten/update/unflatten/apply/select chain (10.5 -> 3.7 ms on
+    the 47M-param bench model).
     """
+    from espnet_tpu.train.optim import FlatAdam
 
     def loss_fn(params, extra_vars, batch, rng):
+        if unravel is not None:
+            params = unravel(params)
         rngs = {
             name: jax.random.fold_in(rng, i) for i, name in enumerate(rng_names)
         }
@@ -152,6 +164,39 @@ def make_train_step(
         (loss, (stats, new_extra)), grads = compute_grads(
             state.params, state.extra_vars, batch, rng
         )
+        if isinstance(tx, FlatAdam):
+            g = grads.astype(jnp.float32)
+            gnorm = jnp.sqrt(jnp.sum(g * g))
+            finite = jnp.isfinite(gnorm)
+            clip = tx.grad_clip
+            scale = jnp.minimum(1.0, clip / jnp.maximum(gnorm, 1e-12)) \
+                if clip and clip > 0 else jnp.float32(1.0)
+            gs = jnp.where(finite, g * scale, 0.0)
+            os = state.opt_state
+            cnt = os["count"] + finite.astype(jnp.int32)
+            lr = tx.sched(os["count"])
+            bc1 = 1.0 - tx.b1 ** cnt.astype(jnp.float32)
+            bc2 = 1.0 - tx.b2 ** cnt.astype(jnp.float32)
+            mu = tx.b1 * os["mu"] + (1.0 - tx.b1) * gs
+            nu = tx.b2 * os["nu"] + (1.0 - tx.b2) * gs * gs
+            p2 = state.params - lr * (mu / bc1) / (
+                jnp.sqrt(nu / bc2) + tx.eps)
+            new_state = state.replace(
+                step=state.step + 1,
+                params=jnp.where(finite, p2, state.params),
+                opt_state={
+                    "count": cnt,
+                    "mu": jnp.where(finite, mu, os["mu"]),
+                    "nu": jnp.where(finite, nu, os["nu"]),
+                },
+                extra_vars=jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(finite, new, old),
+                    new_extra, state.extra_vars),
+            )
+            stats = dict(stats)
+            stats["grad_norm"] = gnorm
+            stats["skipped"] = 1.0 - finite.astype(jnp.float32)
+            return new_state, stats
         gnorm = global_norm(grads)
         finite = jnp.isfinite(gnorm)
         # nan-skip: zero the update and keep opt_state when grads blow up
@@ -185,6 +230,7 @@ def make_eval_step(
     batch_arg_names: Tuple[str, ...] = (
         "speech", "speech_lengths", "text", "text_lengths",
     ),
+    unravel: Optional[Callable] = None,
 ) -> Callable:
     def eval_step(state: TrainState, batch, rng=None):
         # rng defaults to a fixed key so eval is reproducible across runs;
@@ -193,8 +239,10 @@ def make_eval_step(
         # per batch instead of one frozen pattern
         if rng is None:
             rng = jax.random.PRNGKey(0)
+        params = unravel(state.params) if unravel is not None \
+            else state.params
         loss, stats = model.apply(
-            {"params": state.params, **state.extra_vars},
+            {"params": params, **state.extra_vars},
             *[batch[k] for k in batch_arg_names],
             deterministic=True,
             rngs={"dropout": rng, "prenet": jax.random.fold_in(rng, 1)},

@@ -53,6 +53,10 @@ class TrainerOptions:
     # of the reference's torch.profiler hook (`espnet2/train/trainer.py`
     # TrainerOptions.use_profiler). 0 disables.
     profile_steps: int = 0
+    # FLAT-parameter fused optimizer mode: requires tx = FlatAdam (see
+    # build_optimizer(name="fused_adam")); params live as one f32 vector
+    # inside the train state (checkpoints/plots/eval see the usual tree).
+    flat_optimizer: bool = False
 
 
 class Trainer:
@@ -76,11 +80,9 @@ class Trainer:
         from espnet_tpu.train.reporter import WandbLogger
 
         self.wandb = WandbLogger(options.use_wandb, options.wandb_project)
-        self.train_step = make_train_step(model, tx,
-                                          rng_names=rng_names,
-                                          batch_arg_names=batch_arg_names,
-                                          accum_steps=options.accum_grad)
-        self.eval_step = make_eval_step(model, batch_arg_names=batch_arg_names)
+        self.unravel = None  # set by init_state in flat_optimizer mode
+        self.train_step = None  # built lazily (flat mode needs unravel)
+        self.eval_step = None
         self.batch_arg_names = batch_arg_names
         self.rng_names = tuple(rng_names)
         self.device_put = device_put or (lambda b: b)
@@ -111,7 +113,28 @@ class Trainer:
         extra = {k: v for k, v in variables.items() if k != "params"}
         if extra_var_init:
             extra.update(extra_var_init)
+        if self.options.flat_optimizer:
+            from jax.flatten_util import ravel_pytree
+
+            flat, self.unravel = ravel_pytree(params)
+            self._build_steps()
+            return TrainState.create(flat, self.tx, extra)
+        self._build_steps()
         return TrainState.create(params, self.tx, extra)
+
+    def _build_steps(self):
+        if self.train_step is None:
+            self.train_step = make_train_step(
+                self.model, self.tx, rng_names=self.rng_names,
+                batch_arg_names=self.batch_arg_names,
+                accum_steps=self.options.accum_grad, unravel=self.unravel)
+            self.eval_step = make_eval_step(
+                self.model, batch_arg_names=self.batch_arg_names,
+                unravel=self.unravel)
+
+    def _tree(self, params):
+        """Module-tree view of state.params (identity unless flat mode)."""
+        return self.unravel(params) if self.unravel is not None else params
 
     def run(
         self,
@@ -121,6 +144,7 @@ class Trainer:
         hooks: Iterable[Callable] = (),
     ) -> TrainState:
         opts = self.options
+        self._build_steps()
         start_epoch = 1
         if opts.resume and self.ckpt.has_checkpoint():
             state, last_epoch, rep_state = self.ckpt.load_state(state)
@@ -220,7 +244,7 @@ class Trainer:
 
                     dump_attention_plots(
                         self.model,
-                        {"params": state.params, **state.extra_vars},
+                        {"params": self._tree(state.params), **state.extra_vars},
                         plot_batch, self.out_dir, epoch,
                         self.batch_arg_names, tb=self.tb,
                     )
@@ -229,7 +253,7 @@ class Trainer:
                 hook(self, state, epoch)
 
             # ---- checkpoint + best/prune ----
-            self.ckpt.save_epoch_params(state.params, epoch)
+            self.ckpt.save_epoch_params(self._tree(state.params), epoch)
             self.ckpt.save_state(state, epoch, self.reporter.state_dict())
             phase, key, mode = opts.best_metric
             if valid_iter is None:
@@ -261,5 +285,6 @@ class Trainer:
         keep = [e for e in ranked[: opts.keep_nbest]
                 if self.ckpt.params_path(e).exists()]
         if keep:
-            self.ckpt.average_nbest(state.params, keep, f"{phase}.{key}")
+            self.ckpt.average_nbest(self._tree(state.params), keep,
+                        f"{phase}.{key}")
         return state
