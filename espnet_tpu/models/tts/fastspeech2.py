@@ -42,6 +42,13 @@ class FastSpeech2Config:
     postnet_layers: int = 5
     postnet_channels: int = 512
     use_scaled_pos_enc: bool = True  # reference default (`fastspeech2.py:65`)
+    # multi-speaker / multi-lingual conditioning
+    # (`espnet2/tts/fastspeech2/fastspeech2.py:67-69`; integration applied
+    # to encoder output before the variance adaptor, default "add")
+    spks: int = 0
+    langs: int = 0
+    spk_embed_dim: int = 0
+    spk_embed_integration_type: str = "add"
     dropout_rate: float = 0.1
     max_frames: int = 2048  # static upper bound for expanded length
     dtype: object = jnp.float32
@@ -176,12 +183,37 @@ class FastSpeech2(nn.Module):
                                    dtype=c.dtype, name="pitch_embed")
         self.energy_embed = nn.Conv(c.d_model, (9,), padding="SAME",
                                     dtype=c.dtype, name="energy_embed")
+        if c.spks > 1 or c.langs > 1 or c.spk_embed_dim > 0:
+            from espnet_tpu.models.tts.spk_embed import SpeakerConditioner
+
+            self.spk_cond = SpeakerConditioner(
+                spks=c.spks, langs=c.langs, spk_embed_dim=c.spk_embed_dim,
+                integration_type=c.spk_embed_integration_type,
+                units=c.d_model, dtype=c.dtype,
+            )
+            if c.spk_embed_dim > 0 and \
+                    c.spk_embed_integration_type == "concat":
+                # fold the concatenated width back to d_model so the
+                # variance adaptor / decoder geometry is unchanged
+                # (reference keeps adim by conditioning pre-adaptor)
+                self.spk_cond_proj = nn.Dense(c.d_model, dtype=c.dtype,
+                                              name="spk_cond_proj")
+            else:
+                self.spk_cond_proj = None
+        else:
+            self.spk_cond = None
+            self.spk_cond_proj = None
         self.mel_out = nn.Dense(c.n_mels, dtype=c.dtype, name="mel_out")
         self.postnet = Postnet(c.n_mels, c.postnet_channels, c.postnet_layers,
                                c.dtype, name="postnet")
 
-    def _encode(self, text, text_lengths, deterministic):
+    def _encode(self, text, text_lengths, deterministic,
+                sids=None, lids=None, spembs=None):
         hs = self.encoder(self.embed(text), text_lengths, deterministic)
+        if self.spk_cond is not None:
+            hs = self.spk_cond(hs, sids, lids, spembs)
+            if self.spk_cond_proj is not None:
+                hs = self.spk_cond_proj(hs)
         return hs
 
     def _variance(self, hs, text_lengths, deterministic):
@@ -201,10 +233,14 @@ class FastSpeech2(nn.Module):
         pitch: jnp.ndarray,         # (B, U) token-averaged pitch targets
         energy: jnp.ndarray,        # (B, U)
         deterministic: bool = True,
+        sids: Optional[jnp.ndarray] = None,
+        lids: Optional[jnp.ndarray] = None,
+        spembs: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray], jnp.ndarray]:
         """Teacher-forced training forward. Returns (loss, stats, mel_post)."""
         c = self.config
-        hs = self._encode(text, text_lengths, deterministic)
+        hs = self._encode(text, text_lengths, deterministic,
+                          sids=sids, lids=lids, spembs=spembs)
         d_pred, p_pred, e_pred, tmask = self._variance(hs, text_lengths,
                                                        deterministic)
         # embed ground-truth variances (teacher forcing, fastspeech2.py:33)
@@ -238,11 +274,13 @@ class FastSpeech2(nn.Module):
     def inference(
         self, text: jnp.ndarray, text_lengths: jnp.ndarray,
         speed: float = 1.0,
+        sids=None, lids=None, spembs=None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Non-AR synthesis with predicted variances
         (`fastspeech2.py:694`). Returns (mel (B, max_frames, n_mels), lens)."""
         c = self.config
-        hs = self._encode(text, text_lengths, True)
+        hs = self._encode(text, text_lengths, True,
+                          sids=sids, lids=lids, spembs=spembs)
         d_pred, p_pred, e_pred, tmask = self._variance(hs, text_lengths, True)
         dur = jnp.clip(
             jnp.round((jnp.exp(d_pred) - 1.0) / speed), 0, None

@@ -64,9 +64,15 @@ class HiFiGANGenerator(nn.Module):
         return int(np.prod(self.upsample_scales))
 
     @nn.compact
-    def __call__(self, mel):  # (B, T_mel, n_mels) -> (B, T_mel * prod, 1)
+    def __call__(self, mel, g=None):
+        # (B, T_mel, n_mels) [+ global cond g (B, Cg)] -> (B, T_mel*prod, 1)
         x = nn.Conv(self.channels, (self.kernel_size,), padding="SAME",
                     dtype=self.dtype, name="input_conv")(mel)
+        if g is not None:
+            # reference HiFiGAN adds conv1x1(g) right after the input conv
+            # (`gan_tts/hifigan/hifigan.py` global_channels path)
+            x = x + nn.Dense(self.channels, use_bias=False, dtype=self.dtype,
+                             name="global_conv")(g)[:, None]
         for i, scale in enumerate(self.upsample_scales):
             x = nn.leaky_relu(x, LRELU)
             ch = self.channels // (2 ** (i + 1))

@@ -94,11 +94,18 @@ class TTSModel(nn.Module):
         pitch: Optional[jnp.ndarray] = None,
         energy: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
+        sids: Optional[jnp.ndarray] = None,
+        lids: Optional[jnp.ndarray] = None,
+        spembs: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         c = self.config
         mel, mel_lengths = self.extract_feats(speech, speech_lengths)
         mel, mel_lengths = self._fit_reduction(mel, mel_lengths)
-        if c.tts_type in ("tacotron2", "transformer"):
+        spk = dict(sids=sids, lids=lids, spembs=spembs)
+        if c.tts_type == "tacotron2":
+            loss, stats, _ = self.tts(text, text_lengths, mel, mel_lengths,
+                                      deterministic, **spk)
+        elif c.tts_type == "transformer":
             loss, stats, _ = self.tts(text, text_lengths, mel, mel_lengths,
                                       deterministic)
         else:
@@ -107,22 +114,27 @@ class TTSModel(nn.Module):
                     f"{c.tts_type} training requires durations")
             b, u = text.shape
             z = jnp.zeros((b, u), jnp.float32)
+            extra = spk if c.tts_type == "fastspeech2" else {}
             loss, stats, _ = self.tts(
                 text, text_lengths, mel, mel_lengths, durations,
                 pitch if pitch is not None else z,
                 energy if energy is not None else z,
-                deterministic,
+                deterministic, **extra,
             )
         return loss, stats
 
-    def inference(self, text, text_lengths, max_frames: Optional[int] = None):
+    def inference(self, text, text_lengths, max_frames: Optional[int] = None,
+                  sids=None, lids=None, spembs=None):
         """Returns (mel, lengths) in the *normalised* domain; callers
         denormalise with the mvn stats before vocoding."""
         if self.config.tts_type == "tacotron2":
-            mel, lens, _ = self.tts.inference(text, text_lengths, max_frames)
+            mel, lens, _ = self.tts.inference(text, text_lengths, max_frames,
+                                              sids=sids, lids=lids,
+                                              spembs=spembs)
             return mel, lens
         if self.config.tts_type == "transformer":
             return self.tts.inference(text, text_lengths, max_frames)
         if self.config.tts_type == "prodiff":
             return self.tts.inference(text, text_lengths, max_frames)
-        return self.tts.inference(text, text_lengths)
+        return self.tts.inference(text, text_lengths, sids=sids, lids=lids,
+                                  spembs=spembs)

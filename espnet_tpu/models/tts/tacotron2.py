@@ -66,6 +66,12 @@ class Tacotron2Config:
     use_gst: bool = False        # global style tokens (`espnet2/tts/gst`)
     gst_tokens: int = 10
     gst_heads: int = 4
+    # multi-speaker / multi-lingual conditioning
+    # (`espnet2/tts/tacotron2/tacotron2.py:67-70,203-222`)
+    spks: int = 0                # > 1 enables sid embedding table
+    langs: int = 0               # > 1 enables lid embedding table
+    spk_embed_dim: int = 0       # > 0 expects spembs inputs
+    spk_embed_integration_type: str = "concat"  # reference taco2 default
     use_guided_attn: bool = True
     guided_attn_sigma: float = 0.4
     guided_attn_lambda: float = 1.0
@@ -229,6 +235,16 @@ class Tacotron2(nn.Module):
                 num_heads=self.config.gst_heads,
                 dtype=self.config.dtype,
             )
+        if c.spks > 1 or c.langs > 1 or c.spk_embed_dim > 0:
+            from espnet_tpu.models.tts.spk_embed import SpeakerConditioner
+
+            self.spk_cond = SpeakerConditioner(
+                spks=c.spks, langs=c.langs, spk_embed_dim=c.spk_embed_dim,
+                integration_type=c.spk_embed_integration_type,
+                units=c.encoder_lstm_units, dtype=c.dtype,
+            )
+        else:
+            self.spk_cond = None
 
     def _init_carry(self, memory, text_lengths):
         c = self.config
@@ -249,7 +265,7 @@ class Tacotron2(nn.Module):
         )
 
     def _teacher_forward(self, text, text_lengths, mel, mel_lengths,
-                         deterministic):
+                         deterministic, sids=None, lids=None, spembs=None):
         c = self.config
         r = c.reduction_factor
         b, t, _ = mel.shape
@@ -260,6 +276,8 @@ class Tacotron2(nn.Module):
             # style embedding from the target reference mel, broadcast-added
             # to the encoder states (Tacotron2-GST integration)
             memory = memory + self.gst(mel)[:, None]
+        if self.spk_cond is not None:
+            memory = self.spk_cond(memory, sids, lids, spembs)
         carry = self._init_carry(memory, text_lengths)
         # teacher inputs: previous group's last frame; zeros for step 0
         teacher = mel[:, r - 1 :: r][:, :-1]
@@ -286,12 +304,16 @@ class Tacotron2(nn.Module):
         mel: jnp.ndarray,            # (B, T, n_mels)
         mel_lengths: jnp.ndarray,
         deterministic: bool = True,
+        sids: Optional[jnp.ndarray] = None,
+        lids: Optional[jnp.ndarray] = None,
+        spembs: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray], jnp.ndarray]:
         c = self.config
         r = c.reduction_factor
         b, t, _ = mel.shape
         frames, stop_logits, att_ws = self._teacher_forward(
-            text, text_lengths, mel, mel_lengths, deterministic
+            text, text_lengths, mel, mel_lengths, deterministic,
+            sids=sids, lids=lids, spembs=spembs,
         )
         mel_before = frames.reshape(b, t, c.n_mels)
         mel_post = mel_before + self.postnet(mel_before, deterministic)
@@ -327,6 +349,7 @@ class Tacotron2(nn.Module):
         self, text: jnp.ndarray, text_lengths: jnp.ndarray,
         max_frames: Optional[int] = None,
         ref_mel: Optional[jnp.ndarray] = None,
+        sids=None, lids=None, spembs=None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Free-running AR synthesis (decoder.py `inference`).
 
@@ -340,6 +363,8 @@ class Tacotron2(nn.Module):
             if ref_mel is None:
                 raise ValueError("use_gst inference needs a ref_mel")
             memory = memory + self.gst(ref_mel)[:, None]
+        if self.spk_cond is not None:
+            memory = self.spk_cond(memory, sids, lids, spembs)
         carry = self._init_carry(memory, text_lengths)
         b = text.shape[0]
         dummy = jnp.zeros((b, n_dec, c.n_mels), c.dtype)

@@ -111,15 +111,21 @@ class WaveNetStack(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask):  # (B, T, C), (B, T, 1)
+    def __call__(self, x, mask, g=None):  # (B, T, C), (B, T, 1), (B, Cg)
         skip_sum = 0.0
         for i in range(self.layers):
             dil = self.dilation_rate ** i if self.dilation_rate > 1 else 1
             h = nn.Conv(2 * self.channels, (self.kernel_size,),
                         kernel_dilation=(dil,), padding="SAME",
                         dtype=self.dtype, name=f"in_conv{i}")(x * mask)
-            a, g = jnp.split(h, 2, axis=-1)
-            h = jnp.tanh(a) * nn.sigmoid(g)
+            if g is not None:
+                # per-layer 1x1 conditioning of the gate pre-activations
+                # (`gan_tts/wavenet/residual_block.py` aux conv role)
+                h = h + nn.Dense(2 * self.channels, use_bias=False,
+                                 dtype=self.dtype,
+                                 name=f"cond{i}")(g)[:, None, :]
+            a, g_ = jnp.split(h, 2, axis=-1)
+            h = jnp.tanh(a) * nn.sigmoid(g_)
             out = nn.Conv(2 * self.channels, (1,), dtype=self.dtype,
                           name=f"res_skip{i}")(h)
             res, skip = jnp.split(out, 2, axis=-1)
@@ -139,13 +145,13 @@ class PosteriorEncoder(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, spec, lengths, rng):
+    def __call__(self, spec, lengths, rng, g=None):
         mask = make_valid_mask(lengths, spec.shape[1])[:, :, None].astype(
             spec.dtype
         )
         x = nn.Conv(self.hidden, (1,), dtype=self.dtype, name="pre")(spec)
         x = WaveNetStack(self.hidden, self.kernel_size, self.layers,
-                         dtype=self.dtype, name="wavenet")(x, mask)
+                         dtype=self.dtype, name="wavenet")(x, mask, g)
         stats = nn.Conv(2 * self.out_channels, (1,), dtype=self.dtype,
                         name="proj")(x) * mask
         m, logs = jnp.split(stats, 2, axis=-1)
@@ -164,12 +170,12 @@ class ResidualCouplingLayer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask, reverse: bool = False):
+    def __call__(self, x, mask, reverse: bool = False, g=None):
         half = self.channels // 2
         x0, x1 = x[..., :half], x[..., half:]
         h = nn.Conv(self.hidden, (1,), dtype=self.dtype, name="pre")(x0)
         h = WaveNetStack(self.hidden, self.kernel_size, self.layers,
-                         dtype=self.dtype, name="wavenet")(h, mask)
+                         dtype=self.dtype, name="wavenet")(h, mask, g)
         m = nn.Conv(half, (1,), dtype=self.dtype, name="post",
                     kernel_init=nn.initializers.zeros)(h) * mask
         if not reverse:
@@ -190,7 +196,7 @@ class ResidualCouplingBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask, reverse: bool = False):
+    def __call__(self, x, mask, reverse: bool = False, g=None):
         couplings = [
             ResidualCouplingLayer(self.channels, self.hidden,
                                   self.kernel_size, self.layers, self.dtype,
@@ -200,11 +206,11 @@ class ResidualCouplingBlock(nn.Module):
         order = reversed(couplings) if reverse else couplings
         for c in order:
             if not reverse:
-                x = c(x, mask, reverse=False)
+                x = c(x, mask, reverse=False, g=g)
                 x = x[..., ::-1]  # flip
             else:
                 x = x[..., ::-1]
-                x = c(x, mask, reverse=True)
+                x = c(x, mask, reverse=True, g=g)
         return x
 
 
@@ -249,9 +255,14 @@ class DurationPredictor(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask, deterministic: bool = True):
+    def __call__(self, x, mask, deterministic: bool = True, g=None):
         # stop-gradient into the text encoder like the reference SDP input
         h = jax.lax.stop_gradient(x)
+        if g is not None:
+            # reference SDP conditions on g via a 1x1 conv
+            # (`duration_predictor.py` global_channels path)
+            h = h + nn.Dense(h.shape[-1], use_bias=False, dtype=self.dtype,
+                             name="cond")(jax.lax.stop_gradient(g))[:, None]
         for i in range(2):
             h = nn.Conv(self.hidden, (self.kernel_size,), padding="SAME",
                         dtype=self.dtype, name=f"conv{i}")(h)
@@ -283,6 +294,14 @@ class VITSConfig:
     n_fft: int = 1024
     hop_length: int = 256
     segment_frames: int = 32     # z slice length fed to the decoder
+    # multi-speaker / multi-lingual global conditioning
+    # (`gan_tts/vits/generator.py:238-247`: sid/lid embeddings and a
+    # projected spk embedding summed into one g vector threaded through
+    # posterior encoder, flow, duration predictor and decoder)
+    spks: int = 0
+    langs: int = 0
+    spk_embed_dim: int = 0
+    global_channels: int = 0     # required > 0 when any of the above set
     dropout_rate: float = 0.1
     dtype: Any = jnp.float32
 
@@ -312,6 +331,42 @@ class VITSGenerator(nn.Module):
             upsample_scales=c.upsample_scales,
             resblock_kernel_sizes=c.resblock_kernel_sizes, dtype=c.dtype,
         )
+        multi = c.spks > 1 or c.langs > 1 or c.spk_embed_dim > 0
+        if multi and c.global_channels <= 0:
+            raise ValueError("multi-speaker VITS needs global_channels > 0")
+        self.global_emb = (nn.Embed(c.spks, c.global_channels,
+                                    dtype=c.dtype, name="global_emb")
+                           if c.spks > 1 else None)
+        self.lang_emb = (nn.Embed(c.langs, c.global_channels, dtype=c.dtype,
+                                  name="lang_emb")
+                         if c.langs > 1 else None)
+        self.spemb_proj = (nn.Dense(c.global_channels, dtype=c.dtype,
+                                    name="spemb_proj")
+                           if c.spk_embed_dim > 0 else None)
+
+    def _global_cond(self, sids, lids, spembs):
+        """(B, global_channels) conditioning vector or None
+        (generator.py forward: g = global_emb(sid) [+ spemb_proj(spemb)]
+        [+ lang_emb(lid)])."""
+        g = None
+        if self.global_emb is not None:
+            if sids is None:
+                raise ValueError("spks > 1 but sids not provided")
+            g = self.global_emb(sids.reshape(-1))
+        if self.spemb_proj is not None:
+            if spembs is None:
+                raise ValueError("spk_embed_dim > 0 but spembs missing")
+            from espnet_tpu.models.tts.spk_embed import l2_normalize
+
+            e = self.spemb_proj(
+                l2_normalize(spembs.astype(jnp.float32)).astype(spembs.dtype))
+            g = e if g is None else g + e
+        if self.lang_emb is not None:
+            if lids is None:
+                raise ValueError("langs > 1 but lids not provided")
+            e = self.lang_emb(lids.reshape(-1))
+            g = e if g is None else g + e
+        return g
 
     def align_prior(self, z_p, m_p, logs_p, feat_lengths, text_lengths):
         """MAS between the flowed posterior and the text prior
@@ -329,18 +384,20 @@ class VITSGenerator(nn.Module):
         return path  # (B, T_feats, T_text)
 
     def __call__(self, tokens, text_lengths, spec, spec_lengths,
-                 deterministic: bool = True):
+                 deterministic: bool = True, sids=None, lids=None,
+                 spembs=None):
         """Training forward. Returns dict with z slices, priors, durations.
         RNG streams: 'posterior' (sampling), 'segment' (slice choice)."""
         c = self.config
+        g = self._global_cond(sids, lids, spembs)
         h_text, m_p, logs_p = self.text_encoder(
             tokens, text_lengths, deterministic
         )
         z, m_q, logs_q = self.posterior_encoder(
-            spec, spec_lengths, self.make_rng("posterior")
+            spec, spec_lengths, self.make_rng("posterior"), g=g
         )
         feat_mask = make_valid_mask(spec_lengths, spec.shape[1])[..., None]
-        z_p = self.flow(z, feat_mask.astype(z.dtype), reverse=False)
+        z_p = self.flow(z, feat_mask.astype(z.dtype), reverse=False, g=g)
         path = self.align_prior(
             jax.lax.stop_gradient(z_p), jax.lax.stop_gradient(m_p),
             jax.lax.stop_gradient(logs_p), spec_lengths, text_lengths,
@@ -355,7 +412,7 @@ class VITSGenerator(nn.Module):
             z.dtype
         )
         log_dur_pred = self.duration_predictor(
-            h_text, text_mask, deterministic
+            h_text, text_mask, deterministic, g=g
         )
         log_dur_tgt = jnp.log(durations + 1.0e-8) * text_mask
 
@@ -365,7 +422,7 @@ class VITSGenerator(nn.Module):
         u = jax.random.uniform(self.make_rng("segment"), (z.shape[0],))
         starts = (u * (max_start + 1)).astype(jnp.int32)
         z_seg = _slice_segments(z, starts, seg)
-        wav_seg = self.decoder(z_seg)                         # (B, seg*up, 1)
+        wav_seg = self.decoder(z_seg, g=g)                    # (B, seg*up, 1)
 
         return {
             "wav_seg": wav_seg[..., 0],
@@ -379,14 +436,16 @@ class VITSGenerator(nn.Module):
 
     def inference(self, tokens, text_lengths, max_frames: int = 1000,
                   noise_scale: float = 0.667,
-                  length_scale: float = 1.0):
+                  length_scale: float = 1.0, sids=None, lids=None,
+                  spembs=None):
         """Text -> waveform (`vits.py inference:541`)."""
         c = self.config
+        g = self._global_cond(sids, lids, spembs)
         h_text, m_p, logs_p = self.text_encoder(tokens, text_lengths, True)
         text_mask = make_valid_mask(text_lengths, tokens.shape[1]).astype(
             m_p.dtype
         )
-        log_dur = self.duration_predictor(h_text, text_mask, True)
+        log_dur = self.duration_predictor(h_text, text_mask, True, g=g)
         durations = jnp.ceil(jnp.exp(log_dur) * length_scale) * text_mask
         durations = jnp.maximum(durations, text_mask)  # >=1 frame per token
         feat_lengths = jnp.minimum(
@@ -408,8 +467,8 @@ class VITSGenerator(nn.Module):
             + jax.random.normal(rng, m_p_exp.shape)
             * jnp.exp(logs_p_exp) * noise_scale
         ) * feat_mask
-        z = self.flow(z_p, feat_mask.astype(z_p.dtype), reverse=True)
-        wav = self.decoder(z)[..., 0]
+        z = self.flow(z_p, feat_mask.astype(z_p.dtype), reverse=True, g=g)
+        wav = self.decoder(z, g=g)[..., 0]
         n_per_frame = int(np.prod(c.upsample_scales))
         return wav, feat_lengths * n_per_frame
 
