@@ -13,6 +13,13 @@ recipe's single-GPU throughput: ESPnet2 conformer-12L LibriSpeech training
 at batch_bins-equivalent load runs ~1.2 s/step for ~8 min of audio per step
 on one V100 => ~400 audio-seconds/s. This is an estimate, recorded here so
 the ratio is at least stable across rounds.
+
+vs_torch_cpu_measured: a MEASURED same-model denominator (round 4): the
+reference's own `e2e_asr_conformer.E2E` at the bench geometry trains at
+13.63 audio-s/s on this machine's torch CPU (2 threads, batch 4 x 15 s;
+`tools/bench_reference_torch.py`). Different hardware class — the ratio
+quantifies chip-vs-host, not framework-vs-framework — but it is measured,
+not invented.
 """
 
 from __future__ import annotations
@@ -29,6 +36,8 @@ def _log(msg):
     print(f"# {time.strftime('%H:%M:%S')} {msg}", file=sys.stderr, flush=True)
 
 BASELINE_AUDIO_SEC_PER_S = 400.0
+# tools/bench_reference_torch.py on this machine (torch CPU, 2 threads)
+REFERENCE_TORCH_CPU_AUDIO_SEC_PER_S = 13.63
 FS = 16000
 
 
@@ -268,6 +277,8 @@ def main() -> None:
         "value": round(value, 2),
         "unit": "audio-s/s",
         "vs_baseline": round(value / BASELINE_AUDIO_SEC_PER_S, 3),
+        "vs_torch_cpu_measured": round(
+            value / REFERENCE_TORCH_CPU_AUDIO_SEC_PER_S, 1),
         "step_time_s": round(step_time, 4),
         "model_flops": model_flops,
         "mfu": round(mfu, 4) if mfu else None,

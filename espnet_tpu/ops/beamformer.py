@@ -124,3 +124,70 @@ def apply_beamformer(w: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """w: (B, F, C), y: (B, F, C, T) -> (B, F, T)
     (`beamformer.py:apply_beamforming_vector`: w^H y)."""
     return jnp.einsum("...c,...ct->...t", jnp.conj(w), y)
+
+
+# ---------------------------------------------------------------------------
+# Delay-and-sum beamforming (the BeamformIt role, `tools/Makefile:180`)
+# ---------------------------------------------------------------------------
+
+
+def gcc_phat_tdoa(
+    ref: jnp.ndarray,
+    sig: jnp.ndarray,
+    max_delay: int = 800,
+) -> jnp.ndarray:
+    """GCC-PHAT time-difference-of-arrival of `sig` vs `ref` (samples).
+
+    Classic BeamformIt channel-alignment estimator: cross-power spectrum
+    whitened to phase only, inverse transform, argmax within +-max_delay.
+    Positive result = `sig` LAGS `ref` by that many samples.
+    """
+    n = ref.shape[-1]
+    nfft = 1
+    while nfft < 2 * n:
+        nfft *= 2
+    r = jnp.fft.rfft(ref, nfft)
+    s = jnp.fft.rfft(sig, nfft)
+    cross = r * jnp.conj(s)
+    cross = cross / jnp.maximum(jnp.abs(cross), 1e-12)
+    cc = jnp.fft.irfft(cross, nfft)
+    # lags [-max_delay, max_delay]: irfft layout has negative lags at the end
+    cc = jnp.concatenate([cc[..., -max_delay:], cc[..., : max_delay + 1]],
+                         axis=-1)
+    # R*conj(S) peaks at -(lag of sig); negate so a POSITIVE return means
+    # sig lags ref (sig = roll(ref, +tdoa) for identical signals)
+    return max_delay - jnp.argmax(cc, axis=-1)
+
+
+def delay_and_sum(
+    y: jnp.ndarray,
+    ref_channel: int = 0,
+    max_delay: int = 800,
+    weighted: bool = True,
+) -> jnp.ndarray:
+    """Delay-and-sum beamformer over (C, N) multichannel time signals.
+
+    BeamformIt-role algorithm (SURVEY §2.6, `tools/Makefile:180`):
+    per-channel TDOA via GCC-PHAT against the reference channel, integer
+    delay alignment (jnp.roll — the scene edges wrap, negligible for
+    utterance-scale signals), then a weighted sum whose weights are the
+    aligned channels' normalized cross-correlation with the reference
+    (BeamformIt's channel-quality weighting role; `weighted=False` gives
+    the plain average). Returns (N,) enhanced signal.
+    """
+    c, n = y.shape
+    ref = y[ref_channel]
+    tdoas = jnp.stack([
+        gcc_phat_tdoa(ref, y[i], max_delay) for i in range(c)
+    ])  # (C,)
+    aligned = jnp.stack([
+        jnp.roll(y[i], -tdoas[i]) for i in range(c)  # undo each lag
+    ])  # (C, N)
+    if not weighted:
+        return jnp.mean(aligned, axis=0)
+    rn = ref / jnp.maximum(jnp.linalg.norm(ref), 1e-12)
+    an = aligned / jnp.maximum(
+        jnp.linalg.norm(aligned, axis=-1, keepdims=True), 1e-12)
+    xcorr = jnp.maximum(an @ rn, 0.0)  # (C,) non-negative quality
+    w = xcorr / jnp.maximum(jnp.sum(xcorr), 1e-12)
+    return jnp.sum(aligned * w[:, None], axis=0)

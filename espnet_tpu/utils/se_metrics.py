@@ -159,9 +159,11 @@ def sdr(ref: np.ndarray, est: np.ndarray) -> float:
                                / (np.dot(err, err) + 1e-12)))
 
 
-def pesq(*_args, **_kw):  # pragma: no cover - documented gate
-    raise NotImplementedError(
-        "PESQ (ITU-T P.862) needs the licensed reference implementation "
-        "(the `pesq` C extension the reference treats as optional); it is "
-        "not bundled. Use STOI/ESTOI/SI-SNR/SDR from this module."
-    )
+def pesq(ref: np.ndarray, est: np.ndarray, fs: int = 16000) -> float:
+    """Narrowband PESQ MOS-LQO (pure-python P.862-style implementation,
+    `utils/pesq_py.py`; fills the reference's optional licensed PESQ dep,
+    `tools/Makefile:172-174`). Structure-faithful but not bit-exact to the
+    ITU binary — see the pesq_py module docstring for the honest scope."""
+    from espnet_tpu.utils.pesq_py import pesq_score
+
+    return pesq_score(np.asarray(ref), np.asarray(est), fs=fs)

@@ -1,0 +1,83 @@
+"""Pure-python P.862-style PESQ (utils/pesq_py.py): property battery.
+
+No ITU conformance vectors exist offline (the reference builds the
+licensed C binary, tools/Makefile:172-174), so validation is the property
+set that makes the metric usable: identity ceiling, SNR monotonicity,
+gain invariance, delay robustness, score range, distortion ordering.
+"""
+
+import numpy as np
+import pytest
+
+from espnet_tpu.utils.pesq_py import pesq_score
+
+FS = 16000
+
+
+def _speechlike(seconds=2.0, seed=0):
+    rng = np.random.RandomState(seed)
+    t = np.arange(int(FS * seconds)) / FS
+    x = (np.sin(2 * np.pi * 220 * t) * (0.6 + 0.4 * np.sin(2 * np.pi * 3 * t))
+         + 0.3 * np.sin(2 * np.pi * 800 * t)
+         * (0.5 + 0.5 * np.sin(2 * np.pi * 2 * t)))
+    # amplitude-modulated with pauses, like speech activity
+    act = (np.sin(2 * np.pi * 0.7 * t) > -0.5).astype(np.float64)
+    return (x * act).astype(np.float32)
+
+
+def test_identity_ceiling():
+    x = _speechlike()
+    assert pesq_score(x, x) > 4.4
+
+
+def test_snr_monotonicity():
+    x = _speechlike()
+    rng = np.random.RandomState(1)
+    scores = []
+    for snr in [40, 30, 20, 10]:
+        npow = (x ** 2).mean() / (10 ** (snr / 10))
+        noisy = (x + rng.randn(len(x)) * np.sqrt(npow)).astype(np.float32)
+        scores.append(pesq_score(x, noisy))
+    assert all(a > b for a, b in zip(scores, scores[1:])), scores
+    assert scores[0] > 3.0 and scores[-1] < 2.5
+
+
+def test_range_and_floor():
+    x = _speechlike()
+    noise = np.random.RandomState(2).randn(len(x)).astype(np.float32)
+    s = pesq_score(x, noise)
+    assert 1.0 <= s <= 2.0  # pure noise lands at the floor
+    for deg in (x, noise):
+        assert 1.0 <= pesq_score(x, deg) <= 4.64
+
+
+def test_gain_invariance():
+    x = _speechlike()
+    np.testing.assert_allclose(pesq_score(x, 4.0 * x), pesq_score(x, x),
+                               atol=1e-6)
+    np.testing.assert_allclose(pesq_score(x, 0.25 * x), pesq_score(x, x),
+                               atol=1e-6)
+
+
+def test_delay_robustness():
+    x = _speechlike()
+    delayed = np.concatenate([np.zeros(1600, np.float32), x[:-1600]])
+    assert pesq_score(x, delayed) > 4.0  # 100 ms delay ~ aligned away
+
+
+def test_distortion_ordering():
+    """Coarser quantization must score worse."""
+    x = _speechlike()
+    q6 = np.round(x * 32) / 32
+    q3 = np.round(x * 4) / 4
+    s6 = pesq_score(x, q6.astype(np.float32))
+    s3 = pesq_score(x, q3.astype(np.float32))
+    assert s6 > s3
+    assert s3 >= 1.0
+
+
+def test_se_metrics_battery_includes_pesq():
+    from espnet_tpu.utils import se_metrics as M
+
+    x = _speechlike(1.0)
+    assert M.pesq(x, x) > 4.2

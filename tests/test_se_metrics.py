@@ -47,9 +47,14 @@ def test_si_snr_scale_invariant_sdr_not():
     assert 5 < M.si_snr(x, noisy) < 40
 
 
-def test_pesq_gated():
-    with pytest.raises(NotImplementedError, match="P.862"):
-        M.pesq()
+def test_pesq_unlocked():
+    """The r3 gate is gone: se_metrics.pesq returns a MOS-LQO score."""
+    t = np.arange(16000) / 16000.0
+    x = (np.sin(2 * np.pi * 300 * t)
+         * (0.5 + 0.5 * np.sin(2 * np.pi * 4 * t))).astype(np.float32)
+    assert M.pesq(x, x) > 4.2
+    noisy = x + 0.05 * np.random.RandomState(0).randn(len(x))
+    assert 1.0 <= M.pesq(x, noisy) < M.pesq(x, x)
 
 
 def test_enh_scoring_cli(tmp_path):
