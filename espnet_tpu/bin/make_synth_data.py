@@ -21,6 +21,8 @@ def get_parser():
     p.add_argument("--max_words", type=int, default=4)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--fs", type=int, default=16000)
+    p.add_argument("--n_spk", type=int, default=1,
+                   help="synthetic speakers (utt2spk written when > 1)")
     return p
 
 
@@ -33,6 +35,7 @@ def main(argv=None):
     out = generate_corpus(
         args.output_dir, n_utts=args.n_utts, min_words=args.min_words,
         max_words=args.max_words, seed=args.seed, fs=args.fs,
+        n_spk=args.n_spk,
     )
     logging.getLogger("espnet_tpu").info("synth corpus -> %s", out)
 

@@ -21,7 +21,7 @@ WORDS = ["ichi", "ni", "san", "yon", "go", "roku", "nana", "hachi"]
 
 def synth_utterance(
     word_ids: List[int], fs: int = 16000, word_dur: float = 0.40,
-    rng: np.random.RandomState = None,
+    rng: np.random.RandomState = None, pitch_scale: float = 1.0,
 ) -> np.ndarray:
     # word_dur must keep CTC feasible: a word of <=5 chars + space needs
     # ~6 encoder frames = 24 feature frames = 0.19 s at hop 128/16k; 0.40 s
@@ -32,7 +32,7 @@ def synth_utterance(
     t = np.arange(n) / fs
     segs = []
     for w in word_ids:
-        f0 = 200.0 + 120.0 * w
+        f0 = (200.0 + 120.0 * w) * pitch_scale
         seg = 0.4 * np.sin(2 * np.pi * f0 * t) + 0.2 * np.sin(2 * np.pi * 2.1 * f0 * t)
         env = np.minimum(1.0, np.minimum(np.arange(n), n - np.arange(n)) / (0.01 * fs))
         segs.append(seg * env)
@@ -42,25 +42,38 @@ def synth_utterance(
 
 def generate_corpus(
     out_dir, n_utts: int = 60, min_words: int = 2, max_words: int = 6,
-    fs: int = 16000, seed: int = 0,
+    fs: int = 16000, seed: int = 0, n_spk: int = 1,
 ) -> Tuple[Path, Dict[str, str]]:
-    """Writes wav/ + wav.scp + text under out_dir; returns (dir, texts)."""
+    """Writes wav/ + wav.scp + text (+ utt2spk/spk2utt when n_spk > 1;
+    synthetic speakers differ by a global pitch scale so a speaker
+    embedder has something to learn). Returns (dir, texts)."""
     out = Path(out_dir)
     (out / "wav").mkdir(parents=True, exist_ok=True)
     rng = np.random.RandomState(seed)
     texts: Dict[str, str] = {}
+    spk2utt: Dict[str, List[str]] = {}
     with DatadirWriter(out) as w:
         for i in range(n_utts):
-            uid = f"utt{i:04d}"
+            spk = i % max(n_spk, 1)
+            uid = f"spk{spk}-utt{i:04d}" if n_spk > 1 else f"utt{i:04d}"
             nw = rng.randint(min_words, max_words + 1)
             word_ids = rng.randint(0, len(WORDS), nw)
-            wav = synth_utterance(list(word_ids), fs, rng=rng)
+            scale = 1.0 + 0.35 * (spk - (n_spk - 1) / 2.0) if n_spk > 1 \
+                else 1.0
+            wav = synth_utterance(list(word_ids), fs, rng=rng,
+                                  pitch_scale=scale)
             path = out / "wav" / f"{uid}.wav"
             write_wav(path, wav, fs)
             w["wav.scp"][uid] = str(path)
             text = " ".join(WORDS[j] for j in word_ids)
             w["text"][uid] = text
             texts[uid] = text
+            if n_spk > 1:
+                w["utt2spk"][uid] = f"spk{spk}"
+                spk2utt.setdefault(f"spk{spk}", []).append(uid)
+    if n_spk > 1:
+        (out / "spk2utt").write_text("".join(
+            f"{s_} {' '.join(us)}\n" for s_, us in sorted(spk2utt.items())))
     return out, texts
 
 

@@ -25,6 +25,14 @@ def enable_persistent_cache(path: str | None = None) -> str | None:
     global _ENABLED
     if _ENABLED:
         return None
+    # Honor JAX_PLATFORMS even where an installed accelerator plugin (the
+    # 'axon' TPU tunnel) overrides the env var at import time: recipe
+    # subprocesses launched with JAX_PLATFORMS=cpu must actually run on
+    # CPU (the config API wins over the plugin's auto-selection).
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     if path is None:
         path = os.environ.get(
             "ESPNET_TPU_CACHE_DIR",
