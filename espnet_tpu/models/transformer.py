@@ -264,10 +264,27 @@ class TransformerDecoderLayer(nn.Module):
         h = MultiHeadAttention(self.num_heads, self.d_model, self.dtype,
                                name="src_attn")(h, memory, memory, memory_bias)
         x = x + drop(h, deterministic=deterministic)
-        h = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
-        h = PositionwiseFeedForward(self.d_model, self.d_ff, self.dropout_rate,
-                                    dtype=self.dtype, name="ff")(h, deterministic)
-        x = x + drop(h, deterministic=deterministic)
+        fused = (jax.default_backend() == "tpu"
+                 and _ffn_tileable(x, self.d_model, self.d_ff, 256))
+        if fused:
+            from espnet_tpu.ops.pallas_ffn import fused_prenorm_ffn
+
+            ln = _LNParams(self.d_model, name="norm3")
+            fp = _FFNParams(self.d_model, self.d_ff, name="ff")
+            rate = self.dropout_rate if not deterministic else 0.0
+            seeds = _dropout_seeds(self, 2) if rate > 0.0 else None
+            x = fused_prenorm_ffn(
+                x.astype(self.dtype), ln.scale, ln.bias,
+                fp.w1.kernel.astype(self.dtype), fp.w1.bias,
+                fp.w2.kernel.astype(self.dtype), fp.w2.bias,
+                seeds, drop_rate=rate, activation="relu",
+                residual_scale=1.0)
+        else:
+            h = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
+            h = PositionwiseFeedForward(self.d_model, self.d_ff,
+                                        self.dropout_rate, dtype=self.dtype,
+                                        name="ff")(h, deterministic)
+            x = x + drop(h, deterministic=deterministic)
         if cache is not None:
             return x, new_cache
         return x
