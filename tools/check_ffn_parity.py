@@ -108,8 +108,61 @@ def main():
         print(f"{name}: 24-layer fwd+bwd {dt*1e3:.2f} ms "
               f"({flops/dt/1e12:.1f} TFLOP/s eff)")
 
+    ok = check_prenorm() and ok
     print("PARITY OK" if ok else "PARITY FAIL")
     sys.exit(0 if ok else 1)
+
+
+def check_prenorm():
+    """On-device parity of fused_prenorm_ffn (f32 + bf16) vs the XLA ref."""
+    import jax
+    import jax.numpy as jnp
+
+    from espnet_tpu.ops.pallas_ffn import (
+        fused_prenorm_ffn, prenorm_ffn_reference)
+
+    rng = np.random.RandomState(1)
+    m, d, dff = 15008, 256, 2048
+    lns0 = 1 + 0.1 * rng.randn(d)
+    lnb0 = 0.1 * rng.randn(d)
+    x0 = rng.randn(m, d).astype(np.float32) * 0.5
+    k10 = rng.randn(d, dff).astype(np.float32) * 0.05
+    b10 = 0.1 * rng.randn(dff)
+    k20 = rng.randn(dff, d).astype(np.float32) * 0.05
+    b20 = 0.1 * rng.randn(d)
+    w = jnp.asarray(rng.randn(m, d).astype(np.float32))
+    ok = True
+    for dtype, ftol, gtol in [(jnp.float32, 1e-3, 3e-3),
+                              (jnp.bfloat16, 3e-2, 6e-2)]:
+        x = jnp.asarray(x0).astype(dtype)
+        args = (jnp.asarray(lns0, jnp.float32), jnp.asarray(lnb0, jnp.float32),
+                jnp.asarray(k10).astype(dtype), jnp.asarray(b10, jnp.float32),
+                jnp.asarray(k20).astype(dtype), jnp.asarray(b20, jnp.float32))
+
+        def loss(fn, x, *a):
+            return jnp.sum(fn(x, *a).astype(jnp.float32) * w)
+
+        ff = lambda x, *a: fused_prenorm_ffn(x, *a, residual_scale=0.5,
+                                             interpret=False)
+        fr = lambda x, *a: prenorm_ffn_reference(x, *a, residual_scale=0.5)
+        gf = jax.jit(jax.grad(lambda *a: loss(ff, *a),
+                              argnums=tuple(range(7))))(x, *args)
+        gr = jax.jit(jax.grad(lambda *a: loss(fr, *a),
+                              argnums=tuple(range(7))))(x, *args)
+        yf = ff(x, *args).astype(jnp.float32)
+        yr = fr(x, *args).astype(jnp.float32)
+        e = float(jnp.max(jnp.abs(yf - yr)) / jnp.max(jnp.abs(yr)))
+        print(f"prenorm {np.dtype(dtype).name}: fwd relerr {e:.2e}")
+        ok = ok and e < ftol
+        for n, a_, b_ in zip(["dx", "dlns", "dlnb", "dk1", "db1", "dk2",
+                              "db2"], gf, gr):
+            a_ = jnp.asarray(a_, jnp.float32)
+            b_ = jnp.asarray(b_, jnp.float32)
+            er = float(jnp.max(jnp.abs(a_ - b_))
+                       / jnp.maximum(jnp.max(jnp.abs(b_)), 1.0))
+            print(f"  {n}: relerr {er:.2e}")
+            ok = ok and er < gtol
+    return ok
 
 
 if __name__ == "__main__":
