@@ -210,6 +210,7 @@ def main() -> None:
     # the standard MFU convention (matmul/conv FLOPs only; elementwise,
     # norm, softmax and optimizer excluded).
     model_flops = _analytic_train_flops(cfg, b, samples, u)
+    xla_flops = None
     try:
         cost = train_step.lower(state, device_batch, key).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
@@ -282,6 +283,14 @@ def main() -> None:
         "step_time_s": round(step_time, 4),
         "model_flops": model_flops,
         "mfu": round(mfu, 4) if mfu else None,
+        # Both numerators recorded (round-4 advisor): "mfu" is the analytic
+        # matmul/conv count (kernel-placement-invariant, the r4+ headline);
+        # "mfu_xla_visible" is compiled-HLO cost_analysis, the r1-r3
+        # methodology, which under-counts because custom calls report 0
+        # FLOPs. Cross-round comparisons vs r1-r3 should use the latter.
+        "mfu_xla_visible": (round(xla_flops / step_time / peak, 4)
+                            if xla_flops else None),
+        "xla_visible_flops": xla_flops,
         "peak_flops": peak,
         "config": (f"conformer12x256-dec6 bf16 b{b}x{secs:g}s"
                    + ("+remat" if args.remat else "")

@@ -23,7 +23,9 @@ import numpy as np
 
 logger = logging.getLogger("espnet_tpu")
 
-METRICS = ("stoi", "estoi", "si_snr", "sdr")
+# pesq_py = pure-python P.862-style approximation (NOT ITU-conformant; the
+# output name keeps the caveat attached — see utils/se_metrics.pesq_approx)
+METRICS = ("stoi", "estoi", "si_snr", "sdr", "pesq_py")
 
 
 def _read_scp(path):
@@ -51,7 +53,7 @@ def score_utterance(refs, infs, fs):
         fn = getattr(M, m)
         vals = []
         for i in range(n):
-            if m in ("stoi", "estoi"):
+            if m in ("stoi", "estoi", "pesq_py"):
                 vals.append(fn(refs[i], infs[perm[i]], fs))
             else:
                 vals.append(fn(refs[i], infs[perm[i]]))

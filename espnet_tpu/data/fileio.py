@@ -73,10 +73,17 @@ def wav_duration(path) -> float:
             fh.seek(0)
             header = fh.read(header_size).decode("ascii", errors="replace")
         fields = {}
-        for line in header.splitlines()[2:]:
+        # scan every header line (not just from line 3): some writers put
+        # fields immediately after the NIST_1A magic
+        for line in header.splitlines()[1:]:
             parts = line.split(None, 2)
             if len(parts) == 3 and parts[1].startswith("-"):
                 fields[parts[0]] = parts[2]
+        for need in ("sample_count", "sample_rate"):
+            if need not in fields:
+                raise ValueError(
+                    f"malformed NIST SPHERE header in {path}: missing "
+                    f"'{need}' field (found: {sorted(fields) or 'none'})")
         return int(fields["sample_count"]) / float(fields["sample_rate"])
     import wave
 

@@ -238,6 +238,7 @@ class TransformerDecoderLayer(nn.Module):
     d_ff: int
     dropout_rate: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    fused_ffn: Optional[bool] = None  # None = auto (TPU)
 
     @nn.compact
     def __call__(
@@ -264,8 +265,10 @@ class TransformerDecoderLayer(nn.Module):
         h = MultiHeadAttention(self.num_heads, self.d_model, self.dtype,
                                name="src_attn")(h, memory, memory, memory_bias)
         x = x + drop(h, deterministic=deterministic)
-        fused = (jax.default_backend() == "tpu"
-                 and _ffn_tileable(x, self.d_model, self.d_ff, 256))
+        fused = self.fused_ffn
+        if fused is None:
+            fused = jax.default_backend() == "tpu"
+        fused = fused and _ffn_tileable(x, self.d_model, self.d_ff, 256)
         if fused:
             from espnet_tpu.ops.pallas_ffn import fused_prenorm_ffn
 
@@ -305,6 +308,7 @@ class TransformerDecoder(nn.Module):
     num_layers: int = 6
     dropout_rate: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    fused_ffn: Optional[bool] = None  # None = auto (TPU); threaded per layer
 
     def setup(self):
         self.embed = nn.Embed(
@@ -318,7 +322,7 @@ class TransformerDecoder(nn.Module):
         self.layers = [
             TransformerDecoderLayer(
                 self.d_model, self.num_heads, self.d_ff, self.dropout_rate,
-                dtype=self.dtype, name=f"layer{i}",
+                dtype=self.dtype, fused_ffn=self.fused_ffn, name=f"layer{i}",
             )
             for i in range(self.num_layers)
         ]

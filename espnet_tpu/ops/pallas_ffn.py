@@ -80,14 +80,28 @@ def _keep_mask(shape, seed_i32, pid, q: int):
     """Per-element keep mask from a counter hash; identical fwd/bwd.
 
     Element (r, c) of tile `pid` hashes flat counter r*C + c together with
-    (seed + pid) through the murmur3 finalizer; the top byte is compared
-    against q like FastDropout.  Pure jnp uint32 ops -> works both under
-    Mosaic and in interpret mode with bit-identical results.
+    a per-(seed, tile) stream id through the murmur3 finalizer; the top
+    byte is compared against q like FastDropout.  Pure jnp uint32 ops ->
+    works both under Mosaic and in interpret mode with bit-identical
+    results.
+
+    The stream id is finalizer(seed) ^ (pid * phi32), NOT seed + pid: with
+    plain addition, (seed, pid) and (seed + 1, pid - 1) are the SAME
+    stream exactly, so nearby layers sharing a step seed would reuse masks
+    deterministically (round-4 advisor finding). Hashing the seed first
+    removes all such structured collisions; residual random collisions are
+    birthday-rare and statistically harmless for dropout.
     """
     r = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
     c = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
     # modulo-2^32 convert (scalar bitcast isn't lowerable in Mosaic)
-    seed = (seed_i32 + pid).astype(jnp.uint32)
+    s = seed_i32.astype(jnp.uint32)
+    s = s ^ (s >> 16)
+    s = s * jnp.uint32(0x85EBCA6B)
+    s = s ^ (s >> 13)
+    s = s * jnp.uint32(0xC2B2AE35)
+    s = s ^ (s >> 16)
+    seed = s ^ (pid.astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
     x = r * jnp.uint32(shape[1]) + c
     x = x + seed * jnp.uint32(0x9E3779B9)
     x = x ^ (x >> 16)

@@ -159,11 +159,22 @@ def sdr(ref: np.ndarray, est: np.ndarray) -> float:
                                / (np.dot(err, err) + 1e-12)))
 
 
-def pesq(ref: np.ndarray, est: np.ndarray, fs: int = 16000) -> float:
-    """Narrowband PESQ MOS-LQO (pure-python P.862-style implementation,
-    `utils/pesq_py.py`; fills the reference's optional licensed PESQ dep,
-    `tools/Makefile:172-174`). Structure-faithful but not bit-exact to the
-    ITU binary — see the pesq_py module docstring for the honest scope."""
+def pesq_approx(ref: np.ndarray, est: np.ndarray, fs: int = 16000) -> float:
+    """Narrowband PESQ-style MOS-LQO (pure-python P.862-STRUCTURE
+    implementation, `utils/pesq_py.py`; fills the reference's optional
+    licensed PESQ dep, `tools/Makefile:172-174`).
+
+    NOT ITU-conformant: structure-faithful but not bit-exact to the ITU
+    binary (closed-form Zwicker tables, no conformance vectors) — scores
+    correlate with but are NOT comparable to published P.862 numbers.
+    Deliberately named `pesq_approx` (and reported as `pesq_py`) so the
+    approximation can never be mistaken for ITU PESQ. See the pesq_py
+    module docstring for the honest scope."""
     from espnet_tpu.utils.pesq_py import pesq_score
 
     return pesq_score(np.asarray(ref), np.asarray(est), fs=fs)
+
+
+# Historical alias; prefer pesq_approx. Kept so older call sites fail loudly
+# in review rather than silently (the name makes the caveat visible).
+pesq_py = pesq_approx

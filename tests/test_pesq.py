@@ -80,4 +80,4 @@ def test_se_metrics_battery_includes_pesq():
     from espnet_tpu.utils import se_metrics as M
 
     x = _speechlike(1.0)
-    assert M.pesq(x, x) > 4.2
+    assert M.pesq_approx(x, x) > 4.2
