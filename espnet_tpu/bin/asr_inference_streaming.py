@@ -35,6 +35,11 @@ def get_parser():
     p.add_argument("--ctc_weight", type=float, default=0.3)
     p.add_argument("--penalty", type=float, default=0.0)
     p.add_argument("--max_steps", type=int, default=64)
+    p.add_argument("--engine", choices=["device", "host"], default="device",
+                   help="'device' = fixed-shape device-resident recognizer "
+                        "(decode/streaming_device.py, one dispatch per "
+                        "quantum); 'host' = the host-buffered reference-"
+                        "style implementation (decode/streaming_inference.py)")
     return p
 
 
@@ -49,7 +54,12 @@ def main(argv=None):
 
     from espnet_tpu.bin.asr_inference import pick_params_file
     from espnet_tpu.data.fileio import read_2column_text, write_2column_text
-    from espnet_tpu.decode.streaming_inference import Speech2TextStreaming
+    if args.engine == "device":
+        from espnet_tpu.decode.streaming_device import (
+            DeviceStreamingRecognizer as Speech2TextStreaming,
+        )
+    else:
+        from espnet_tpu.decode.streaming_inference import Speech2TextStreaming
     from espnet_tpu.tasks.asr import ASRTask
     from espnet_tpu.train.checkpoint import load_pytree
     from espnet_tpu.train.collect_stats import load_stats, mvn_variables

@@ -118,6 +118,18 @@ class Recipe:
                         "--n_utts", str(n),
                         "--seed", str(17 * i),
                     ])
+        elif c.local_data == "synth_hard":
+            # the round-5 head-to-head corpus (data/synth.py
+            # generate_hard_corpus): disjoint seeds per split -> disjoint
+            # utterances AND unseen test speakers
+            from espnet_tpu.data.synth import generate_hard_corpus
+
+            for i, name in enumerate(dict.fromkeys(sets)):
+                d = self.data / name
+                n = c.synth_utts if name == c.train_set \
+                    else max(20, c.synth_utts // 5)
+                if not (d / "wav.scp").exists():
+                    generate_hard_corpus(d, n_utts=n, seed=i)
         elif c.local_data:
             subprocess.run(c.local_data, shell=True, check=True)
         for name in dict.fromkeys(sets):

@@ -140,3 +140,41 @@ def test_time_warp_is_piecewise_monotonic_resample():
         assert abs(out[0, 0, 0] - 0.0) < 1e-4
         assert abs(out[0, 63, 0] - 63.0) < 1e-4
         assert abs(out[1, 49, 0] - 49.0) < 1e-4
+
+
+def test_log_mel_high_precision_parity_vs_torch():
+    """The TRAINED path gate (r4 verdict weak #5): models/asr.py defaults
+    frontend_precision="high"; the librosa/torch parity assertion must
+    cover that configuration, not only the "highest" default of
+    ops/stft.py. On TPU the measured high-vs-highest log-mel deviation is
+    <= 1.1e-3 (PROFILE.md) and tools/check_frontend_parity.py gates it on
+    device; on CPU precision flags are no-ops, so this test pins the
+    *path* (the flag threads through) and the torch parity at the same
+    tolerance budget the TPU gate uses."""
+    torch = pytest.importorskip("torch")
+    x = _rand_wave()
+    n_fft, hop = 512, 128
+    feats, _ = stft_ops.log_mel_spectrogram(
+        jnp.asarray(x), jnp.asarray([x.shape[1]] * 2), precision="high")
+    ref = torch.stft(
+        torch.from_numpy(x), n_fft=n_fft, hop_length=hop,
+        window=torch.hann_window(n_fft), center=True, onesided=True,
+        return_complex=True)
+    power = (ref.real ** 2 + ref.imag ** 2).numpy().transpose(0, 2, 1)
+    mel = power @ stft_ops.mel_filterbank(16000, n_fft, 80)
+    ref_logmel = np.log(np.maximum(mel, 1e-10))
+    t = min(feats.shape[1], ref_logmel.shape[1])
+    # 2e-3 = the TPU gate budget: 1.1e-3 measured high-vs-highest + f32
+    # torch-vs-matmul slack
+    np.testing.assert_allclose(np.asarray(feats)[:, :t], ref_logmel[:, :t],
+                               atol=2e-3, rtol=1e-3)
+
+
+def test_asr_model_frontend_uses_high_precision_by_default():
+    """models/asr.py:65 frontend_precision default must stay "high" (the
+    benchmarked configuration) and thread into the frontend; a silent
+    default flip would invalidate every committed perf number."""
+    from espnet_tpu.models.asr import ASRConfig
+
+    cfg = ASRConfig(vocab_size=8)
+    assert cfg.frontend_precision == "high"

@@ -42,13 +42,17 @@ def build_feats(datadir: Path, sets, stats_from: str):
     from espnet_tpu.ops.stft import log_mel_spectrogram
 
     feats = {}
+    bucket = 8000  # pad waveforms to a 0.5 s grid: O(10) jit shapes, not
+    # one compile per distinct utterance length
     for name in sets:
         d = datadir / name
         for utt, path in read_2column_text(d / "wav.scp").items():
             x, sr = read_wav(path)
+            n = len(x)
+            xp = np.zeros(-(-n // bucket) * bucket, np.float32)
+            xp[:n] = x
             f, fl = log_mel_spectrogram(
-                jnp.asarray(x[None].astype(np.float32)),
-                jnp.asarray([len(x)], np.int32))
+                jnp.asarray(xp[None]), jnp.asarray([n], np.int32))
             feats[(name, utt)] = np.asarray(f[0, : int(fl[0])])
     tr = np.concatenate(
         [v for (s, _), v in feats.items() if s == stats_from], axis=0)
@@ -72,13 +76,27 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--beam_size", type=int, default=5)
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--arch", default="transformer",
+                    choices=("transformer", "conformer"))
+    ap.add_argument("--cnn_module_kernel", type=int, default=15)
+    # 0 = single full-corpus batch (the original AN4 head-to-head mode);
+    # > 0 = shuffled length-bucketed minibatches (needed for 1k+ utts)
+    ap.add_argument("--batch_size", type=int, default=0)
+    ap.add_argument("--warmup_steps", type=int, default=0,
+                    help="Noam-style warmup steps (0 = constant lr)")
+    ap.add_argument("--dropout", type=float, default=0.1)
+    ap.add_argument("--threads", type=int, default=2)
     args = ap.parse_args()
 
     import numpy as np
     import torch
 
+    torch.set_num_threads(args.threads)
     torch.manual_seed(args.seed)
-    from espnet.nets.pytorch_backend.e2e_asr_transformer import E2E
+    if args.arch == "conformer":
+        from espnet.nets.pytorch_backend.e2e_asr_conformer import E2E
+    else:
+        from espnet.nets.pytorch_backend.e2e_asr_transformer import E2E
 
     from espnet_tpu.data.fileio import read_2column_text
     from espnet_tpu.data.tokenizer import (
@@ -106,13 +124,24 @@ def main():
     # v1 parser would add (espnet/bin/asr_train.py)
     mp = argparse.ArgumentParser()
     E2E.add_arguments(mp)
-    margs = mp.parse_args([
+    flags = [
         "--adim", str(args.adim), "--aheads", str(args.aheads),
         "--eunits", str(args.eunits), "--elayers", str(args.elayers),
         "--dunits", str(args.eunits), "--dlayers", str(args.dlayers),
         "--transformer-input-layer", "conv2d",
-        "--dropout-rate", "0.1",
-    ])
+        "--dropout-rate", str(args.dropout),
+    ]
+    if args.arch == "conformer":
+        # the reference conformer recipe settings (rel-pos MHSA + macaron +
+        # conv module, egs2/librispeech_100 tuning yaml)
+        flags += [
+            "--transformer-encoder-pos-enc-layer-type", "rel_pos",
+            "--transformer-encoder-selfattn-layer-type", "rel_selfattn",
+            "--macaron-style", "true",
+            "--use-cnn-module", "true",
+            "--cnn-module-kernel", str(args.cnn_module_kernel),
+        ]
+    margs = mp.parse_args(flags)
     # train-level args the v1 parser (espnet/bin/asr_train.py) would add
     margs.mtlalpha = args.mtlalpha
     margs.char_list = token_list
@@ -126,33 +155,62 @@ def main():
     n_params = sum(p.numel() for p in model.parameters())
     print(f"reference E2E: idim {idim} odim {odim} params {n_params}")
 
-    # training batch: all train utterances, padded (CustomConverter
-    # semantics: feats zero-pad, labels pad with ignore_id=-1)
+    # training data: padded per batch (CustomConverter semantics: feats
+    # zero-pad, labels pad with ignore_id=-1)
     tr_utts = sorted(texts[args.train_set])
     xs = [feats[(args.train_set, u)] for u in tr_utts]
     ys = [np.asarray(conv.tokens2ids(tok.text2tokens(
         texts[args.train_set][u])), np.int64) for u in tr_utts]
-    ilens = torch.tensor([len(x) for x in xs])
-    xs_pad = torch.zeros(len(xs), int(ilens.max()), idim)
-    for i, x in enumerate(xs):
-        xs_pad[i, : len(x)] = torch.from_numpy(x)
-    ys_pad = torch.full((len(ys), max(len(y) for y in ys)), -1,
-                        dtype=torch.long)
-    for i, y in enumerate(ys):
-        ys_pad[i, : len(y)] = torch.from_numpy(y)
 
-    opt = torch.optim.Adam(model.parameters(), lr=args.lr)
+    def pad_batch(idx):
+        bx = [xs[i] for i in idx]
+        by = [ys[i] for i in idx]
+        ilens = torch.tensor([len(x) for x in bx])
+        xp = torch.zeros(len(bx), int(ilens.max()), idim)
+        for i, x in enumerate(bx):
+            xp[i, : len(x)] = torch.from_numpy(x)
+        yp = torch.full((len(by), max(len(y) for y in by)), -1,
+                        dtype=torch.long)
+        for i, y in enumerate(by):
+            yp[i, : len(y)] = torch.from_numpy(y)
+        return xp, ilens, yp
+
+    opt = torch.optim.Adam(model.parameters(), lr=args.lr,
+                           betas=(0.9, 0.98), eps=1e-9)
     model.train()
     t0 = time.time()
+    step = 0
+    if args.batch_size <= 0:
+        batches = [list(range(len(xs)))]
+        rng = None
+    else:
+        # length-sorted buckets (seq2seq batching, v1 batchfy "seq" mode),
+        # shuffled each epoch
+        order = np.argsort([len(x) for x in xs])
+        batches = [list(order[i: i + args.batch_size])
+                   for i in range(0, len(order), args.batch_size)]
+        rng = np.random.RandomState(args.seed)
     for ep in range(args.epochs):
-        opt.zero_grad()
-        loss = model(xs_pad, ilens, ys_pad)
-        loss.backward()
-        torch.nn.utils.clip_grad_norm_(model.parameters(), 5.0)
-        opt.step()
-        if (ep + 1) % 50 == 0 or ep == 0:
-            print(f"epoch {ep + 1}: loss {float(loss):.3f} "
-                  f"({time.time() - t0:.0f}s)")
+        if rng is not None:
+            rng.shuffle(batches)
+        ep_loss, nb = 0.0, 0
+        for idx in batches:
+            step += 1
+            if args.warmup_steps > 0:
+                lr = args.lr * min(step ** -0.5 * args.warmup_steps ** 0.5,
+                                   step / args.warmup_steps)
+                for gr in opt.param_groups:
+                    gr["lr"] = lr
+            opt.zero_grad()
+            loss = model(*pad_batch(idx))
+            loss.backward()
+            torch.nn.utils.clip_grad_norm_(model.parameters(), 5.0)
+            opt.step()
+            ep_loss += float(loss)
+            nb += 1
+        if (ep + 1) % max(1, args.epochs // 20) == 0 or ep == 0:
+            print(f"epoch {ep + 1}: loss {ep_loss / nb:.3f} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
     train_time = time.time() - t0
 
     # decode (reference beam search: E2E.recognize -> BeamSearch api v1)

@@ -73,10 +73,11 @@ def main():
             print(f"# offline beam={beam:2d} batch={batch}: RTF {rtf:.5f}",
                   file=sys.stderr, flush=True)
 
-    # --- streaming: contextual-block conformer, block-sync greedy ---
+    # --- streaming: contextual-block conformer --------------------------
+    # engines: "device" = fixed-shape device-resident recognizer (one
+    # dispatch per 0.512 s quantum, decode/streaming_device.py); "host" =
+    # the round-4 host-buffered implementation kept for comparison.
     try:
-        from espnet_tpu.decode.streaming_inference import Speech2TextStreaming
-
         scfg = ASRConfig(
             vocab_size=5000, input_type="raw", n_mels=80, use_specaug=False,
             normalize="none", encoder_type="contextual_block_conformer",
@@ -86,26 +87,47 @@ def main():
         smodel = ASRModel(scfg)
         svars = nn.meta.unbox(jax.jit(smodel.init, static_argnums=(5,))(
             jax.random.PRNGKey(0), *tiny, True))
-        s2ts = Speech2TextStreaming(
-            smodel, svars["params"],
-            extra_vars={k: v for k, v in svars.items() if k != "params"},
-            search="greedy", max_steps=steps_cap)
+        sextra = {k: v for k, v in svars.items() if k != "params"}
         wav = rng.randn(int(secs * FS)).astype(np.float32) * 0.1
         chunk = 8000  # 0.5 s chunks
-        # warmup pass (compiles each incremental shape once)
-        for i in range(0, len(wav), chunk):
-            s2ts(wav[i:i + chunk], is_final=i + chunk >= len(wav))
-        t0 = time.perf_counter()
-        reps = 2
-        for _ in range(reps):
-            for i in range(0, len(wav), chunk):
+
+        def run_streaming(s2ts, label, reps=2):
+            for i in range(0, len(wav), chunk):  # warmup/compile pass
                 s2ts(wav[i:i + chunk], is_final=i + chunk >= len(wav))
-        dt = time.perf_counter() - t0
-        rtf = dt / (reps * secs)
-        rows.append({"mode": "streaming-greedy", "chunk_s": 0.5,
-                     "rtf": round(rtf, 5)})
-        print(f"# streaming greedy chunk=0.5s: RTF {rtf:.5f}",
-              file=sys.stderr, flush=True)
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                for i in range(0, len(wav), chunk):
+                    s2ts(wav[i:i + chunk], is_final=i + chunk >= len(wav))
+            dt = time.perf_counter() - t0
+            rtf = dt / (reps * secs)
+            rows.append({"mode": label, "chunk_s": 0.5,
+                         "rtf": round(rtf, 5)})
+            print(f"# {label} chunk=0.5s: RTF {rtf:.5f}",
+                  file=sys.stderr, flush=True)
+
+        from espnet_tpu.decode.streaming_device import (
+            DeviceStreamingRecognizer,
+        )
+
+        run_streaming(
+            DeviceStreamingRecognizer(smodel, svars["params"],
+                                      extra_vars=sextra, search="greedy",
+                                      max_steps=steps_cap),
+            "streaming-greedy(device)")
+        run_streaming(
+            DeviceStreamingRecognizer(smodel, svars["params"],
+                                      extra_vars=sextra, search="beam",
+                                      beam_size=10, ctc_weight=0.3,
+                                      max_steps=steps_cap),
+            "streaming-beam10(device)")
+
+        from espnet_tpu.decode.streaming_inference import Speech2TextStreaming
+
+        run_streaming(
+            Speech2TextStreaming(smodel, svars["params"],
+                                 extra_vars=sextra, search="greedy",
+                                 max_steps=steps_cap),
+            "streaming-greedy(host,r4)", reps=1)
     except Exception as e:  # keep the offline table even if streaming fails
         print(f"# streaming RTF failed: {e}", file=sys.stderr)
 
