@@ -144,6 +144,7 @@ def synth_hard_utterance(
     f0: float = 120.0, formant_scale: float = 1.0,
     syl_dur: float = 0.17, snr_db: float = 10.0,
     channel_a: float = 0.0, gain: float = 0.3,
+    reverb_rt: float = 0.0,
 ) -> np.ndarray:
     """Render a word sequence with a crude source-filter model.
 
@@ -191,6 +192,21 @@ def synth_hard_utterance(
         segs.append(sil)
     segs.append(np.zeros(int(0.08 * fs)))
     sig = np.concatenate(segs)
+    # reverberation: sparse exponentially-decaying synthetic RIR
+    # (smears the consonant bursts — the realistic hard part)
+    if reverb_rt > 1e-3:
+        n_taps = 24
+        delays = np.sort(rng.randint(int(0.004 * fs),
+                                     int(reverb_rt * fs), n_taps))
+        amps = (rng.randn(n_taps)
+                * np.exp(-3.0 * delays / (reverb_rt * fs)) * 0.5)
+        rir = np.zeros(int(reverb_rt * fs) + 1)
+        rir[0] = 1.0
+        rir[delays] += amps
+        n = len(sig)
+        m = n + len(rir) - 1
+        sig = np.fft.irfft(np.fft.rfft(sig, m) * np.fft.rfft(rir, m),
+                           m)[:n]
     # channel: one-pole lowpass tilt via FFT (vectorized equivalent of
     # y[t] = a*y[t-1] + (1-a)*x[t])
     if channel_a > 1e-3:
@@ -216,9 +232,11 @@ def synth_hard_utterance(
 
 
 def generate_hard_corpus(
-    out_dir, n_utts: int = 300, *, vocab_size: int = 40,
+    out_dir, n_utts: int = 300, *, vocab_size: int = 60,
     min_words: int = 3, max_words: int = 7, fs: int = 16000,
-    seed: int = 0, snr_lo: float = 0.0, snr_hi: float = 15.0,
+    seed: int = 0, snr_lo: float = -6.0, snr_hi: float = 8.0,
+    syl_lo: float = 0.11, syl_hi: float = 0.18,
+    reverb_p: float = 0.7, reverb_rt_max: float = 0.25,
     vocab_seed: int = 1234,
 ) -> Tuple[Path, Dict[str, str]]:
     """Hard synthetic ASR corpus (see module comment above).
@@ -240,10 +258,12 @@ def generate_hard_corpus(
                 words, fs, rng=rng,
                 f0=rng.uniform(90.0, 250.0),
                 formant_scale=rng.uniform(0.85, 1.2),
-                syl_dur=rng.uniform(0.14, 0.22),
+                syl_dur=rng.uniform(syl_lo, syl_hi),
                 snr_db=rng.uniform(snr_lo, snr_hi),
                 channel_a=rng.uniform(0.0, 0.55),
                 gain=10 ** (rng.uniform(-12.0, 0.0) / 20.0) * 0.5,
+                reverb_rt=(rng.uniform(0.06, reverb_rt_max)
+                           if rng.rand() < reverb_p else 0.0),
             )
             path = out / "wav" / f"{uid}.wav"
             write_wav(path, wav, fs)
