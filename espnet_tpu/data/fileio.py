@@ -66,6 +66,11 @@ def wav_duration(path) -> float:
     on LDC-style .sph data dirs too."""
     with open(path, "rb") as fh:
         magic = fh.read(8)
+    if magic[:4] == b"fLaC":
+        from espnet_tpu.data.flac import flac_info
+
+        sr, _, _, total = flac_info(path)
+        return total / float(sr)
     if magic.startswith(b"NIST_1A"):
         with open(path, "rb") as fh:
             fh.readline()
@@ -158,8 +163,13 @@ def read_wav(path) -> Tuple[np.ndarray, int]:
     from scipy.io import wavfile
 
     with open(path, "rb") as f:
-        if f.read(7) == b"NIST_1A":
-            return read_sphere(path)
+        magic = f.read(7)
+    if magic == b"NIST_1A":
+        return read_sphere(path)
+    if magic[:4] == b"fLaC":
+        from espnet_tpu.data.flac import read_flac
+
+        return read_flac(path)
     sr, data = wavfile.read(path)
     if data.dtype == np.int16:
         data = data.astype(np.float32) / 32768.0
