@@ -234,9 +234,9 @@ def synth_hard_utterance(
 def generate_hard_corpus(
     out_dir, n_utts: int = 300, *, vocab_size: int = 60,
     min_words: int = 3, max_words: int = 7, fs: int = 16000,
-    seed: int = 0, snr_lo: float = -6.0, snr_hi: float = 8.0,
-    syl_lo: float = 0.11, syl_hi: float = 0.18,
-    reverb_p: float = 0.7, reverb_rt_max: float = 0.25,
+    seed: int = 0, snr_lo: float = -12.0, snr_hi: float = 2.0,
+    syl_lo: float = 0.10, syl_hi: float = 0.16,
+    reverb_p: float = 0.85, reverb_rt_max: float = 0.35,
     vocab_seed: int = 1234,
 ) -> Tuple[Path, Dict[str, str]]:
     """Hard synthetic ASR corpus (see module comment above).

@@ -244,7 +244,7 @@ def _dqdp_kernel(qu_ref, qv_ref, k_ref, v_ref, p_ref, kb_ref, do_ref,
     bb = pl.program_id(2)
     qu = qu_ref[0]
     qv = qv_ref[0]
-    do = do_ref[0, pl.ds(qb * blk, blk), :].astype(jnp.float32)
+    do = do_ref[0, pl.ds(qb * blk, blk), :]
     lse = lse_ref[0, 0, pl.ds(qb * blk, blk)]
     delta = dl_ref[0, 0, pl.ds(qb * blk, blk)]
     d = qu.shape[-1]
@@ -259,7 +259,7 @@ def _dqdp_kernel(qu_ref, qv_ref, k_ref, v_ref, p_ref, kb_ref, do_ref,
         s = _scores(qu, qv, ks, pw, kb, scale, blk, interpret)
         w = jnp.exp(s - lse[:, None])
         dp_s = jax.lax.dot_general(
-            do, vs.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            do, vs, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         ds = w * (dp_s - delta[:, None]) * scale
@@ -313,13 +313,13 @@ def _fused1_bwd_kernel(q_ref, u_ref, vb_ref, k_ref, v_ref, p_ref, kb_ref,
     vs = v_ref[0]
     pw = p_ref[0]
     kb = kb_ref[0, 0]
-    do = do_ref[0].astype(jnp.float32)
+    do = do_ref[0]
     lse = lse_ref[0, 0]
     delta = dl_ref[0, 0]
     s = _scores(qu, qv, ks, pw, kb, scale, blk, interpret)
     w = jnp.exp(s - lse[:, None])
     dp_s = jax.lax.dot_general(
-        do, vs.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        do, vs, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     ds = w * (dp_s - delta[:, None]) * scale
@@ -481,13 +481,13 @@ def _fused1_bwd_kernel_fold(q_ref, u_ref, vb_ref, k_ref, v_ref, p_ref,
         vs = v_ref[hh]
         pw = p_ref[hh]
         pwf = pf_ref[hh]
-        do = do_ref[hh].astype(jnp.float32)
+        do = do_ref[hh]
         lse = lse_ref[hh, 0]
         delta = dl_ref[hh, 0]
         s = _scores(qu, qv, ks, pw, kb, scale, blk, interpret)
         w = jnp.exp(s - lse[:, None])
         dp_s = jax.lax.dot_general(
-            do, vs.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            do, vs, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         ds = w * (dp_s - delta[:, None]) * scale
@@ -602,7 +602,7 @@ def _dkv_kernel(qu_ref, qv_ref, k_ref, v_ref, p_ref, kb_ref, do_ref, lse_ref,
         dk, dv = carry
         qu = qu_ref[0, pl.ds(qb * blk, blk), :]
         qv = qv_ref[0, pl.ds(qb * blk, blk), :]
-        do = do_ref[0, pl.ds(qb * blk, blk), :].astype(jnp.float32)
+        do = do_ref[0, pl.ds(qb * blk, blk), :]
         lse = lse_ref[0, 0, pl.ds(qb * blk, blk)]
         delta = dl_ref[0, 0, pl.ds(qb * blk, blk)]
         pw = p_ref[0, pl.ds((m - 1 + jb - qb) * blk, 2 * blk), :]
@@ -613,7 +613,7 @@ def _dkv_kernel(qu_ref, qv_ref, k_ref, v_ref, p_ref, kb_ref, do_ref, lse_ref,
             preferred_element_type=jnp.float32,
         )
         dp_s = jax.lax.dot_general(
-            do, vs.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            do, vs, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         ds = w * (dp_s - delta[:, None]) * scale

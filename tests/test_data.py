@@ -180,3 +180,26 @@ def test_chunk_iterator():
     # reproducible per epoch, different across epochs
     again = list(it.epoch(0))
     np.testing.assert_allclose(batches[0]["speech_mix"], again[0]["speech_mix"])
+
+
+def test_generate_hard_corpus(tmp_path):
+    """Round-5 head-to-head corpus (data/synth.py generate_hard_corpus):
+    confusable CV vocabulary, disjoint seeds -> disjoint utterances,
+    readable audio, CTC-feasible lengths."""
+    from espnet_tpu.data.fileio import read_2column_text, read_wav
+    from espnet_tpu.data.synth import generate_hard_corpus, hard_vocab
+
+    out, texts = generate_hard_corpus(tmp_path / "tr", n_utts=5, seed=0)
+    out2, texts2 = generate_hard_corpus(tmp_path / "te", n_utts=5, seed=1)
+    assert len(texts) == 5 and not (set(texts) & set(texts2))
+    vocab = set(hard_vocab(60))
+    wavs = read_2column_text(out / "wav.scp")
+    for utt, text in read_2column_text(out / "text").items():
+        words = text.split()
+        assert 3 <= len(words) <= 7
+        assert all(w in vocab for w in words)
+        wav, sr = read_wav(wavs[utt])
+        assert sr == 16000
+        # every char + space needs >= 1 subsampled frame for CTC
+        n_frames = len(wav) // 128 // 4
+        assert n_frames >= 2 * sum(len(w) + 1 for w in words) // 2

@@ -5,11 +5,14 @@
 # nonzero WER with a real denominator).
 #
 # Corpus: data/synth.py generate_hard_corpus — confusable CV-syllable
-# vocabulary (40 words over shared b/d/g/k/p/t + a/e/i/o/u inventories),
+# vocabulary (60 words over shared b/d/g/k/p/t + a/e/i/o/u inventories),
 # continuous speaker space (f0 90-250 Hz, formant scale 0.85-1.2), tempo
-# variation, additive white+pink noise at SNR 0-15 dB, random channel tilt.
-# Train 1500 utts (seed 0) / dev 150 (seed 1) / test 300 utts, 1538 words
-# (seed 2) — test speakers unseen by construction.
+# variation, additive white+pink noise, reverberation, channel tilt.
+# Difficulty locked where a 6x128 conformer lands at ~10-20% WER (round-5
+# calibration: SNR -12..+2 dB, syllables 0.10-0.16 s, reverb p=0.85
+# RT<=0.35 s, 60-word vocab). Train 1500 utts (seed 0) / dev 150 (seed 1)
+# / test 300 utts, ~1500 words (seed 2) — test speakers unseen by
+# construction.
 #
 # Both arms consume byte-identical audio, the same char token inventory,
 # and log-mel80 + global CMVN features; both decode with joint
@@ -20,8 +23,8 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 WORK=${1:-egs_work/synth_hard}
-REF_EPOCHS=${2:-30}
-OUR_EPOCHS=${3:-30}
+REF_EPOCHS=${2:-40}
+OUR_EPOCHS=${3:-40}
 mkdir -p "$WORK"
 
 # 1) corpus (idempotent)
