@@ -60,3 +60,24 @@ def test_streaming_train_and_inference_cli(workspace):
     assert (out / "text").exists()
     assert (out / "score_wer.txt").exists()
     assert len((out / "text").read_text().strip().splitlines()) == 2
+
+
+def test_streaming_cli_engines_agree(workspace):
+    """--engine device (fixed-shape device-resident recognizer) and
+    --engine host (the reference-style host-buffered implementation) must
+    produce identical hypotheses on the same checkpoint."""
+    from espnet_tpu.bin.asr_inference_streaming import main as infer
+
+    outs = {}
+    for engine in ("device", "host"):
+        out = workspace / f"decode_stream_{engine}"
+        infer([
+            "--exp_dir", str(workspace / "exp"),
+            "--data_dir", str(workspace / "data" / "test"),
+            "--output_dir", str(out),
+            "--sim_chunk_length", "1600",
+            "--search", "greedy",
+            "--engine", engine,
+        ])
+        outs[engine] = (out / "text").read_text()
+    assert outs["device"] == outs["host"], outs
