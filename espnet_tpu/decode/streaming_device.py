@@ -321,9 +321,11 @@ class DeviceStreamingRecognizer:
             from espnet_tpu.decode.online_beam_search import process_block
 
             dev["enc_buf"] = jax.lax.dynamic_update_slice(
-                dev["enc_buf"], emit, (0, old_len, 0))
+                dev["enc_buf"], emit.astype(dev["enc_buf"].dtype),
+                (0, old_len, 0))
             dev["lp_buf"] = jax.lax.dynamic_update_slice(
-                dev["lp_buf"], lp, (0, old_len, 0))
+                dev["lp_buf"], lp.astype(dev["lp_buf"].dtype),
+                (0, old_len, 0))
             new_len = jnp.minimum(old_len + emit_count, self.t_max)
             w = self.bs_cfg.beam_size
             mem = jnp.repeat(dev["enc_buf"], w, axis=0)
