@@ -122,6 +122,12 @@ class ConformerBlock(nn.Module):
     # chain with its neighbours better than an opaque custom call can
     # (measured step 76.4 vs 74.6 ms), so the default stays False.
     fused_conv: Optional[bool] = None
+    # None = auto: the conv module's two matmul-anchored ENDS run as Pallas
+    # kernels (LN+pw1+GLU head, LN+swish+pw2+drop+residual tail) with the
+    # memory-bound depthwise conv left to XLA between them — the round-5
+    # middle road after the whole-module kernel (fused_conv) lost
+    # in-context (ops/pallas_conv_glu.py).
+    fused_conv_split: Optional[bool] = None
     # None = auto: macaron FFN sub-blocks (LN + FFN + dropouts + 0.5
     # residual) run as single Pallas kernels on TPU (fused_prenorm_ffn).
     fused_ffn: Optional[bool] = None
@@ -131,7 +137,9 @@ class ConformerBlock(nn.Module):
         drop = FastDropout(self.dropout_rate)
         fused_ffn = self.fused_ffn
         if fused_ffn is None:
-            fused_ffn = jax.default_backend() == "tpu"
+            from espnet_tpu.models.transformer import _fused_auto
+
+            fused_ffn = _fused_auto(x)
         fused_ffn = fused_ffn and _ffn_tileable(x, self.d_model, self.d_ff,
                                                 256)
 
@@ -167,7 +175,47 @@ class ConformerBlock(nn.Module):
         x = x + drop(h, deterministic=deterministic)
         # Conv module (pre-LN + module + dropout + residual)
         fused_conv = bool(self.fused_conv)
-        if fused_conv and self.conv_norm_type == "layer":
+        # MEASURED on v5e (round 5): the split fusion loses ~1.1 ms/step
+        # in-context at b32 (train step 73.3 vs 72.2 ms; encoder fwd 23.2
+        # vs 21.6) — XLA fuses the GLU/LN chains into the pointwise
+        # matmuls and overlaps the module better than the two opaque
+        # custom calls allow, the same verdict as the r4 whole-module
+        # kernel. Default OFF; ESPNET_TPU_CONV_SPLIT=1 re-enables for A/B.
+        fused_split = self.fused_conv_split
+        if fused_split is None:
+            import os
+
+            fused_split = (jax.default_backend() == "tpu"
+                           and os.environ.get("ESPNET_TPU_CONV_SPLIT",
+                                              "0") == "1")
+        fused_split = (fused_split and not fused_conv
+                       and self.conv_norm_type == "layer"
+                       and _ffn_tileable(x, self.d_model, self.d_model, 256))
+        if fused_split:
+            from espnet_tpu.ops.pallas_conv_glu import (
+                fused_postnorm_proj, fused_prenorm_glu)
+
+            ln = _LNParams(self.d_model, name="norm_conv")
+            cp = _ConvModuleParams(self.d_model, self.kernel_size,
+                                   name="conv")
+            rate = self.dropout_rate if not deterministic else 0.0
+            seed = _dropout_seeds(self, 1) if rate > 0.0 else None
+            g = fused_prenorm_glu(
+                x.astype(self.dtype), ln.scale, ln.bias,
+                cp.pointwise_conv1.kernel.astype(self.dtype),
+                cp.pointwise_conv1.bias)
+            g = g * pad_mask[:, :, None].astype(g.dtype)
+            g = jax.lax.conv_general_dilated(
+                g, cp.depthwise_conv.kernel.astype(g.dtype),
+                window_strides=(1,), padding="SAME",
+                feature_group_count=self.d_model,
+                dimension_numbers=("NWC", "WIO", "NWC"),
+            ) + cp.depthwise_conv.bias.astype(g.dtype)
+            x = fused_postnorm_proj(
+                g, x.astype(self.dtype), cp.norm.scale, cp.norm.bias,
+                cp.pointwise_conv2.kernel.astype(self.dtype),
+                cp.pointwise_conv2.bias, seed, drop_rate=rate)
+        elif fused_conv and self.conv_norm_type == "layer":
             from espnet_tpu.ops.pallas_conv_module import fused_conv_module
 
             ln = _LNParams(self.d_model, name="norm_conv")

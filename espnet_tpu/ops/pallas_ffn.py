@@ -103,6 +103,9 @@ def _keep_mask(shape, seed_i32, pid, q: int):
     s = s ^ (s >> 16)
     seed = s ^ (pid.astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
     x = r * jnp.uint32(shape[1]) + c
+    # (A 4-elements-per-finalizer byte-packed variant was measured on v5e:
+    # bit-exact A/B possible but NO speedup — the 12-layer FFN chain ran
+    # 13.05 vs 12.72 ms; the hash hides behind the matmuls. Kept 1:1.)
     x = x + seed * jnp.uint32(0x9E3779B9)
     x = x ^ (x >> 16)
     x = x * jnp.uint32(0x85EBCA6B)
@@ -268,6 +271,17 @@ def _fused_ffn_bwd(q, activation, tm, interpret, res, g):
 _fused_ffn_core.defvjp(_fused_ffn_fwd, _fused_ffn_bwd)
 
 
+def _tile_m_default() -> int:
+    """Rows per FFN-kernel grid step (ESPNET_TPU_FFN_TILE overrides).
+
+    256 keeps the bwd kernel's ~3 (TM, d_ff) f32 intermediates + 4 MB of
+    weight-grad accumulators inside the 16 MB scoped-VMEM limit; the knob
+    exists for A/B on other geometries."""
+    import os
+
+    return int(os.environ.get("ESPNET_TPU_FFN_TILE", "256"))
+
+
 def fused_ffn(
     x: jnp.ndarray,
     k1: jnp.ndarray,
@@ -277,7 +291,7 @@ def fused_ffn(
     seed: jnp.ndarray | None = None,
     drop_rate: float = 0.0,
     activation: str = "swish",
-    tile_m: int = 256,
+    tile_m: int | None = None,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Fused FFN over flattened tokens.
@@ -295,6 +309,8 @@ def fused_ffn(
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if tile_m is None:
+        tile_m = _tile_m_default()
     q = 0 if drop_rate <= 0.0 else max(1, min(255, round(drop_rate * 256)))
     if seed is None:
         seed = jnp.zeros((1,), jnp.int32)
@@ -531,7 +547,7 @@ def fused_prenorm_ffn(
     drop_rate: float = 0.0,
     activation: str = "swish",
     residual_scale: float = 1.0,
-    tile_m: int = 256,
+    tile_m: int | None = None,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """y = x + residual_scale * drop(FFN_drop(LN(x))) in one kernel.
@@ -544,6 +560,8 @@ def fused_prenorm_ffn(
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if tile_m is None:
+        tile_m = _tile_m_default()
     q = 0 if drop_rate <= 0.0 else max(1, min(255, round(drop_rate * 256)))
     if seeds is None:
         seeds = jnp.zeros((2,), jnp.int32)

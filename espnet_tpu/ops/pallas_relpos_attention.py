@@ -61,6 +61,36 @@ def _anti_identity(blk: int, dtype=jnp.float32) -> jnp.ndarray:
     return (r + c == blk - 1).astype(dtype)
 
 
+def _rev_butterfly() -> bool:
+    """ESPNET_TPU_REV=butterfly swaps the (BLK, BLK) anti-identity matmul
+    lane-reverse in `_unskew_rev` for a log2(BLK)-step xor permutation of
+    constant rolls + selects (pure VPU) — A/B switch: the matmul costs
+    ~BLK^3 MXU MACs per tile (the single largest matmul in the m==1 bwd),
+    the butterfly costs ~2·log2(BLK) VPU passes over the tile."""
+    import os
+
+    return os.environ.get("ESPNET_TPU_REV", "") == "butterfly"
+
+
+def _lane_reverse(x: jnp.ndarray) -> jnp.ndarray:
+    """out[:, c] = x[:, w-1-c] for power-of-two lane width w.
+
+    Reversal is index-XOR with (w-1); XOR with each bit decomposes into a
+    pair of constant circular rolls + a lane-parity select, so the whole
+    reverse is log2(w) roll/roll/select steps — no MXU work. Mosaic has no
+    native `rev` (checked jax 0.9.0: "Unimplemented primitive ... rev").
+    """
+    w = x.shape[1]
+    c = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+    bit = 1
+    while bit < w:
+        right = pltpu.roll(x, bit, 1)      # x[c - bit]
+        left = pltpu.roll(x, w - bit, 1)   # x[c + bit]
+        x = jnp.where((c & bit) != 0, right, left)
+        bit *= 2
+    return x
+
+
 def _roll_by_row(x: jnp.ndarray, blk: int) -> jnp.ndarray:
     """Right-roll row r of x by r lanes via constant rolls + selects."""
     r = jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0)
@@ -170,10 +200,14 @@ def _unskew_rev(ds, blk: int, interpret: bool) -> jnp.ndarray:
             jnp.take_along_axis(ds, jnp.clip(src, 0, blk - 1), axis=1),
             jnp.zeros((), ds.dtype),
         )
-    j = _anti_identity(blk, ds.dtype)
-    ds_rev = jax.lax.dot_general(
-        ds, j, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # ds_rev[r, c*] = ds[r, blk-1-c*]
+    if _rev_butterfly():
+        ds_rev = _lane_reverse(ds.astype(jnp.float32))
+    else:
+        j = _anti_identity(blk, ds.dtype)
+        ds_rev = jax.lax.dot_general(
+            ds, j, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # ds_rev[r, c*] = ds[r, blk-1-c*]
     gz = jnp.concatenate(
         [ds_rev, jnp.zeros((blk, w - blk), jnp.float32)], axis=1
     )

@@ -158,3 +158,25 @@ def test_interctc_loss_mixes_into_ctc():
         float(loss_i),
         0.3 * got + 0.7 * float(stats["loss_att"]), rtol=1e-5,
     )
+
+
+def test_too_short_utterance_raises_named_error():
+    """Sub-receptive-field input raises TooShortUttError (the reference's
+    explicit error, `transformer/subsampling.py:14`), not an opaque
+    ZeroDivisionError from the attention rel-shift."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from espnet_tpu.models.conformer import ConformerEncoder
+    from espnet_tpu.models.subsampling import TooShortUttError
+
+    enc = ConformerEncoder(d_model=64, num_heads=2, d_ff=128, num_layers=1)
+    with pytest.raises(TooShortUttError):
+        enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 80)),
+                 jnp.asarray([4]), True)
+    # 7 frames is exactly enough for x4
+    p = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 7, 80)),
+                 jnp.asarray([7]), True)
+    h, hl = enc.apply(p, jnp.zeros((1, 7, 80)), jnp.asarray([7]), True)
+    assert h.shape[1] == 1 and int(hl[0]) == 1

@@ -85,3 +85,21 @@ def test_mha_uses_flash_above_threshold():
     got = mha_flash.apply(params, x, x, x, bias)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_lane_reverse_butterfly():
+    """XOR-butterfly lane reverse (the ESPNET_TPU_REV=butterfly variant of
+    `_unskew_rev`'s anti-identity matmul) is an exact reversal."""
+    from jax.experimental import pallas as pl
+
+    from espnet_tpu.ops.pallas_relpos_attention import _lane_reverse
+
+    for w in (128, 256, 512):
+        x = jnp.arange(8 * w, dtype=jnp.float32).reshape(8, w)
+        y = pl.pallas_call(
+            lambda x_ref, o_ref: o_ref.__setitem__(
+                slice(None), _lane_reverse(x_ref[:])),
+            out_shape=jax.ShapeDtypeStruct((8, w), jnp.float32),
+            interpret=True,
+        )(x)
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(x)[:, ::-1])
