@@ -51,9 +51,12 @@ class RecipeTTSConfig:
     # x-vector stage (tts.sh:346): train the spk embedder + dump embeddings
     use_xvector: bool = False
     xvector_args: str = ""
-    # duration teacher: existing taco2 exp dir, or "" to use this recipe's
-    # stage-6 model when tts_type needs durations
+    # duration teacher: existing taco2 exp dir (required by
+    # fastspeech2/prodiff unless `durations` files already exist)
     teacher_exp: str = ""
+    # stage 7: also dump durations from THIS exp's stage-6 model (so a
+    # tacotron2 recipe can act as duration teacher for a later FS2 run)
+    dump_durations: bool = False
     tts_args: str = ""
     synth_args: str = ""
     stage: int = 1
@@ -180,16 +183,49 @@ class RecipeTTS:
             args += ["--data.bpe_model", str(self.exp / "tokens" / "bpe.json")]
         return args + shlex.split(c.tts_args)
 
+    def _ensure_durations(self):
+        """FastSpeech-family models need per-token durations BEFORE stage 6
+        (reference: `tts.sh` trains the teacher first and FS consumes
+        teacher_dumpdir durations). When `teacher_exp` points at a trained
+        Tacotron2, extract durations into every data dir the trainer will
+        read; without a teacher this raises with a clear message instead
+        of the trainer's KeyError('durations')."""
+        c = self.cfg
+        dirs = [self.train_dir()]
+        if c.valid_set:
+            dirs.append(self.data / c.valid_set)
+        missing = [d for d in dirs if not (Path(d) / "durations").exists()]
+        if not missing:
+            return
+        teacher = c.teacher_exp
+        if not teacher:
+            raise RuntimeError(
+                f"tts_type={c.tts_type} needs `durations` in "
+                f"{[str(d) for d in missing]}; set --recipe.teacher_exp to "
+                "a trained tacotron2 exp (tts.sh teacher_dumpdir flow) or "
+                "provide durations files")
+        for d in missing:
+            _run_cli("espnet_tpu.bin.tts_teacher_durations", [
+                "--exp_dir", teacher,
+                "--data_dir", str(d),
+            ])
+
     def stage6_train(self):
+        if self.cfg.tts_type in ("fastspeech2", "prodiff"):
+            self._ensure_durations()
         _run_cli("espnet_tpu.bin.tts_train", [
             "--run.output_dir", str(self.exp / "tts"),
         ] + self._tts_common_args())
 
     def stage7_teacher_durations(self):
+        """Post-hoc duration dump from THIS exp's stage-6 model (e.g. a
+        tacotron2 exp acting as duration teacher for a later FS2 recipe);
+        for duration-consuming tts_types stage 6 already ensured its own
+        inputs via `_ensure_durations`."""
         c = self.cfg
-        if c.tts_type not in ("fastspeech2", "prodiff"):
-            return
         teacher = c.teacher_exp or str(self.exp / "tts")
+        if c.tts_type not in ("fastspeech2", "prodiff") and not c.dump_durations:
+            return
         _run_cli("espnet_tpu.bin.tts_teacher_durations", [
             "--exp_dir", teacher,
             "--data_dir", str(self.train_dir()),

@@ -91,3 +91,22 @@ def test_mcd_metric_properties():
     a_slow = np.repeat(a, 2)[: int(len(a) * 1.5)]
     stretched = mel_cepstral_distortion(a, a_slow)
     assert stretched < diff
+
+
+def test_fs2_without_teacher_raises_clear_error(tmp_path):
+    """FastSpeech-family stage 6 demands durations BEFORE training: with
+    no teacher_exp and no `durations` files it must raise a RuntimeError
+    naming the fix, not the trainer's KeyError('durations') (round-5 bug:
+    stage 7 ran after stage 6, so the FS2 recipe could never train)."""
+    import pytest
+
+    from espnet_tpu.recipe_tts import RecipeTTS, RecipeTTSConfig
+
+    cfg = RecipeTTSConfig(
+        expdir=str(tmp_path / "exp"), datadir=str(tmp_path / "data"),
+        local_data="synth", synth_utts=2, tts_type="fastspeech2",
+        stage=1, stop_stage=6,
+        tts_args="--run.max_epoch 1 --data.batch_size 2",
+    )
+    with pytest.raises(RuntimeError, match="teacher_exp"):
+        RecipeTTS(cfg).run()
