@@ -220,7 +220,11 @@ def main():
     model.eval()
     summary = {"params": n_params, "train_time_s": round(train_time, 1),
                "epochs": args.epochs}
-    for s in sets:
+    # decode ONLY the requested sets: `sets` has the train set prepended
+    # for feature/CMVN building, and the reference's python-loop beam
+    # search at ~4 s/utt makes an accidental 1500-utt train decode cost
+    # ~95 min (it did, round 5)
+    for s in args.decode_sets.split():
         hyps = {}
         t0 = time.time()
         for u in sorted(texts[s]):
